@@ -1,0 +1,62 @@
+"""DTC-GPC closed loop: the scan engine must match the literal O(nit^2)
+replay oracle, and the Wood-Berry loop must track its setpoints
+(configuration of /root/reference/DTC-GPC/DTC_GPC_WW.m:17-125)."""
+
+import numpy as np
+import pytest
+
+from mpc_tuning_tpu.models import plants
+from mpc_tuning_tpu.ops import condmin as cm
+from mpc_tuning_tpu.sim.gpc_loop import DTCGPC
+
+
+@pytest.fixture(scope="module")
+def wb_controller():
+    plant = plants.wood_berry()
+    K = plant.G.dcgain()
+    L, R, _ = cm.condmin(K)
+    ctl = DTCGPC.build(
+        plant=plant.G,
+        model=plant.G,
+        Ts=1.0,
+        p=np.array([3, 3]),
+        m=np.array([3, 3]),
+        delta=np.array([1.0, 1.0]),
+        lam=np.array([1.0, 1.0]),
+        L=L,
+        R=R,
+        n_md=1,
+        disturbance=plant.D,
+    )
+    return ctl
+
+
+def _signals(nit=200):
+    r = np.zeros((nit, 2))
+    r[10:, 0] = 0.8
+    r[60:, 1] = 0.5
+    q = np.zeros((nit, 1))
+    q[140:, 0] = -0.25
+    return r, q
+
+
+def test_scan_matches_reference_replay(wb_controller):
+    nit = 120
+    r, q = _signals(nit)
+    y_ref, u_ref = wb_controller.simulate_ref(r, q, nit)
+    y_scan, u_scan = wb_controller.simulate_scan(r, q, nit)
+    np.testing.assert_allclose(y_scan, y_ref, atol=1e-8)
+    np.testing.assert_allclose(u_scan, u_ref, atol=1e-8)
+
+
+def test_wood_berry_tracking_and_disturbance_rejection(wb_controller):
+    nit = 200
+    r, q = _signals(nit)
+    y, u = wb_controller.simulate_scan(r, q, nit)
+    # settled before the disturbance hits
+    np.testing.assert_allclose(y[135], [0.8, 0.5], atol=5e-3)
+    # recovers from the q=-0.25 feed disturbance by the end
+    np.testing.assert_allclose(y[-1], [0.8, 0.5], atol=2e-2)
+    # control stays bounded and converges
+    assert np.all(np.abs(u) < 2.0)
+    assert np.all(np.abs(u[-1] - u[-5]) < 1e-3)
