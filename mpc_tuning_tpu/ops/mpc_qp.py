@@ -1,0 +1,271 @@
+"""Condensed linear MPC QP — the TPU-native equivalent of the MATLAB MPC
+Toolbox controller the reference drives through ``sim``/``mpcmove``
+(/root/reference/MPC-Tuning/MPC_Tuning/closedloop_toolbox.m:36-50).
+
+Implements the documented MATLAB formulation:
+  cost      J = sum_i |Q^(1/2) (r - y(k+i|k))|^2            i = 1..p
+              + sum_t |R^(1/2) du(k+t)|^2                   t = 0..m-1
+              + rho_eps * eps^2
+  s.t.      dumin <= du <= dumax                 (hard)
+            umin  <= u(k+t) <= umax              (hard)
+            ymin - eps*Vmin <= y <= ymax + eps*Vmax   (soft, ECR)
+            eps >= 0
+  with Q_j = (w_OV_j)^2, R_j = (w_dMV_j)^2 in ScaleFactor units, reference
+  and measured disturbance held constant over the horizon (look-ahead off,
+  closedloop_toolbox caller semantics), and moves blocked to zero after the
+  control horizon.
+
+Batching design: everything is built at MAX horizons (p_max, m_max) decided
+by the tuner's bit widths (2^nbp-1, 2^nbc-1, MPCTuning.m:270-289); a
+candidate (N, Nu, delta, lambda) enters purely through masks and diagonal
+weights, so one compiled program evaluates an entire VNS neighborhood /
+GAM population via vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpc_tuning_tpu.models.lti import DiscreteSS
+from mpc_tuning_tpu.ops.observer import AugmentedModel, augment_with_output_disturbance
+
+__all__ = ["MPCSpec", "MPCController", "build_controller", "assemble_candidate", "qp_step_data"]
+
+
+@dataclasses.dataclass
+class MPCSpec:
+    """Case-static MPC definition, in (conditioned) model units.
+
+    Mirrors the mpc-object configuration of the reference drivers
+    (WoodBerry.m:118-148, Shell7x5.m:100-189): bounds, ECR softening,
+    ScaleFactors, max horizons.
+    """
+
+    model: DiscreteSS  # conditioned prediction model, inputs [MV, MD]
+    n_mv: int
+    n_md: int
+    p_max: int
+    m_max: int
+    umin: np.ndarray
+    umax: np.ndarray
+    dumin: np.ndarray
+    dumax: np.ndarray
+    ymin: np.ndarray  # +-inf where unconstrained
+    ymax: np.ndarray
+    v_ymin: np.ndarray | None = None  # MinECR per output (default 1)
+    v_ymax: np.ndarray | None = None
+    rho_eps: float = 1e5
+    sf_u: np.ndarray | None = None  # MV ScaleFactors
+    sf_y: np.ndarray | None = None  # OV ScaleFactors
+    sf_v: np.ndarray | None = None  # MD ScaleFactors
+
+    def __post_init__(self):
+        ny = self.model.ny
+        nu = self.n_mv
+        nd = self.n_md
+        if self.v_ymin is None:
+            self.v_ymin = np.ones(ny)
+        if self.v_ymax is None:
+            self.v_ymax = np.ones(ny)
+        if self.sf_u is None:
+            self.sf_u = np.ones(nu)
+        if self.sf_y is None:
+            self.sf_y = np.ones(ny)
+        if self.sf_v is None:
+            self.sf_v = np.ones(nd)
+
+    @property
+    def has_y_constraints(self) -> bool:
+        return bool(np.any(np.isfinite(self.ymin)) or np.any(np.isfinite(self.ymax)))
+
+
+@dataclasses.dataclass
+class MPCController:
+    """Host-precomputed controller data (numpy float64).  The jax loops
+    convert to device arrays once per case."""
+
+    spec: MPCSpec
+    aug: AugmentedModel
+    # scaled-unit augmented model
+    A: np.ndarray
+    Bu: np.ndarray
+    Bv: np.ndarray
+    C: np.ndarray
+    Dv: np.ndarray
+    M: np.ndarray
+    # prediction tensors at max horizons (scaled units)
+    Sx: np.ndarray  # (p_max, ny, nxa)
+    Sstep: np.ndarray  # (p_max+1, ny, nu): sum_{j<q} C A^j Bu
+    Sv: np.ndarray  # (p_max, ny, nd)
+    Theta: np.ndarray  # (p_max*ny, m_max*nu) Toeplitz of Sstep
+    Tcum: np.ndarray  # (m_max*nu, m_max*nu) cumulative-sum map du -> u-u_prev
+    # scaled bounds
+    umin_s: np.ndarray
+    umax_s: np.ndarray
+    dumin_s: np.ndarray
+    dumax_s: np.ndarray
+    ymin_s: np.ndarray
+    ymax_s: np.ndarray
+
+
+def build_controller(spec: MPCSpec, q_plant: float = 0.0) -> MPCController:
+    ss = spec.model
+    nu, nd, ny = spec.n_mv, spec.n_md, ss.ny
+    Bu_r, Bv_r = ss.B[:, :nu], ss.B[:, nu:]
+    Dv_r = ss.D[:, nu:]
+    if np.any(np.abs(ss.D[:, :nu]) > 0):
+        raise ValueError("direct MV feedthrough unsupported (plants are strictly proper)")
+
+    # ScaleFactor units: u = sf_u*u_s, y = sf_y*y_s, v = sf_v*v_s
+    Bu = Bu_r * spec.sf_u[None, :]
+    Bv = Bv_r * spec.sf_v[None, :] if nd else Bv_r
+    C = ss.C / spec.sf_y[:, None]
+    Dv = (Dv_r * spec.sf_v[None, :]) / spec.sf_y[:, None] if nd else Dv_r
+
+    aug = augment_with_output_disturbance(ss.A, Bu, Bv, C, Dv, q_plant=q_plant)
+
+    p_max, m_max = spec.p_max, spec.m_max
+    nxa = aug.nx
+    Sx = np.zeros((p_max, ny, nxa))
+    Sstep = np.zeros((p_max + 1, ny, nu))
+    Sv = np.zeros((p_max, ny, nd))
+    Ai = np.eye(nxa)
+    acc_u = np.zeros((ny, nu))
+    acc_v = np.zeros((ny, nd))
+    for i in range(1, p_max + 1):
+        acc_u = acc_u + aug.C @ Ai @ aug.Bu
+        acc_v = acc_v + aug.C @ Ai @ aug.Bv
+        Ai = aug.A @ Ai  # A^i
+        Sx[i - 1] = aug.C @ Ai
+        Sstep[i] = acc_u
+        Sv[i - 1] = acc_v + aug.Dv
+
+    Theta = np.zeros((p_max, ny, m_max, nu))
+    for i in range(1, p_max + 1):
+        for t in range(min(i, m_max)):
+            Theta[i - 1, :, t, :] = Sstep[i - t]
+    Theta = Theta.reshape(p_max * ny, m_max * nu)
+
+    # cumulative map: (u(k+t) - u(k-1))_j = sum_{tau<=t} du_j(tau)
+    Tc = np.kron(np.tril(np.ones((m_max, m_max))), np.eye(nu))
+
+    return MPCController(
+        spec=spec, aug=aug,
+        A=aug.A, Bu=aug.Bu, Bv=aug.Bv, C=aug.C, Dv=aug.Dv, M=aug.M,
+        Sx=Sx, Sstep=Sstep, Sv=Sv, Theta=Theta, Tcum=Tc,
+        umin_s=spec.umin / spec.sf_u, umax_s=spec.umax / spec.sf_u,
+        dumin_s=spec.dumin / spec.sf_u, dumax_s=spec.dumax / spec.sf_u,
+        ymin_s=spec.ymin / spec.sf_y, ymax_s=spec.ymax / spec.sf_y,
+    )
+
+
+def controller_arrays(ctl: MPCController, dtype=jnp.float64) -> dict:
+    """Device-ready constant dict."""
+    spec = ctl.spec
+    out = {
+        "A": ctl.A, "Bu": ctl.Bu, "Bv": ctl.Bv, "C": ctl.C, "Dv": ctl.Dv,
+        "M": ctl.M, "Sx": ctl.Sx, "Sstep": ctl.Sstep, "Sv": ctl.Sv,
+        "Theta": ctl.Theta, "Tcum": ctl.Tcum,
+        "umin": ctl.umin_s, "umax": ctl.umax_s,
+        "dumin": ctl.dumin_s, "dumax": ctl.dumax_s,
+        "ymin": np.where(np.isfinite(ctl.ymin_s), ctl.ymin_s, -1e30),
+        "ymax": np.where(np.isfinite(ctl.ymax_s), ctl.ymax_s, 1e30),
+        "vymin": spec.v_ymin, "vymax": spec.v_ymax,
+        "sf_u": spec.sf_u, "sf_y": spec.sf_y,
+        "sf_v": spec.sf_v if spec.n_md else np.zeros(0),
+    }
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in out.items()}
+
+
+def assemble_candidate(c: dict, N, Nu, delta, lam, p_max: int, m_max: int,
+                       ny: int, nu: int, rho_eps: float, with_y: bool):
+    """Per-candidate QP data (jax; vmap over candidates).
+
+    N, Nu: scalar int arrays (shared horizon maxima, as the reference applies
+    max(N)/max(Nu) to the toolbox object, closedloop_toolbox.m:39-43).
+    delta (ny,), lam (nu,): OV / MVRate weights.
+    Returns dict with H (n,n), G (mc,n), QTheta (p_max*ny, m_max*nu), masks.
+    """
+    dtype = c["Theta"].dtype
+    i_idx = jnp.arange(1, p_max + 1)
+    t_idx = jnp.arange(m_max)
+    row_mask = (i_idx <= N).astype(dtype)  # (p_max,)
+    col_mask = (t_idx < Nu).astype(dtype)  # (m_max,)
+
+    q_diag = (jnp.tile(delta, (p_max, 1)) ** 2) * row_mask[:, None]  # (p_max, ny)
+    q_flat = q_diag.reshape(-1)
+    r_flat = ((jnp.tile(lam, (m_max, 1)) ** 2) * col_mask[:, None]).reshape(-1)
+    cmask_flat = jnp.repeat(col_mask, nu)
+
+    Theta = c["Theta"] * cmask_flat[None, :]
+    QTheta = Theta * q_flat[:, None]
+    Hdu = 2.0 * (Theta.T @ QTheta + jnp.diag(r_flat + (1.0 - cmask_flat)))
+
+    n = m_max * nu + 1
+    H = jnp.zeros((n, n), dtype)
+    H = H.at[:-1, :-1].set(Hdu)
+    H = H.at[-1, -1].set(2.0 * rho_eps)
+
+    # constraint matrix
+    I_du = jnp.eye(m_max * nu, dtype=dtype)
+    Tcum = c["Tcum"] * cmask_flat[None, :]
+    zero_col = jnp.zeros((m_max * nu, 1), dtype)
+    blocks = [
+        jnp.hstack([I_du * cmask_flat[:, None], zero_col]),     # du <= dumax
+        jnp.hstack([-I_du * cmask_flat[:, None], zero_col]),    # -du <= -dumin
+        jnp.hstack([Tcum * cmask_flat[:, None], zero_col]),     # u <= umax
+        jnp.hstack([-Tcum * cmask_flat[:, None], zero_col]),    # -u <= -umin
+    ]
+    if with_y:
+        vmax_col = jnp.tile(c["vymax"], (p_max,)).reshape(-1, 1)
+        vmin_col = jnp.tile(c["vymin"], (p_max,)).reshape(-1, 1)
+        rmask_flat = jnp.repeat(row_mask, ny)[:, None]
+        blocks.append(jnp.hstack([Theta, -vmax_col]) * rmask_flat)
+        blocks.append(jnp.hstack([-Theta, -vmin_col]) * rmask_flat)
+    eps_row = jnp.zeros((1, n), dtype).at[0, -1].set(-1.0)
+    blocks.append(eps_row)  # -eps <= 0
+    G = jnp.vstack(blocks)
+
+    return {
+        "H": H, "G": G, "Theta": Theta, "QTheta": QTheta,
+        "row_mask": row_mask, "col_mask": col_mask,
+        "cmask_flat": cmask_flat,
+    }
+
+
+def qp_step_data(c: dict, cand: dict, x_hat, u_prev, r_s, v_s,
+                 p_max: int, m_max: int, ny: int, nu: int, with_y: bool):
+    """Per-timestep QP linear term f and rhs h (jax).
+
+    free response: y(k+i|k) with du=0 = Sx[i] x_hat + Sstep[i] u_prev + Sv[i] v.
+    """
+    dtype = x_hat.dtype
+    free = (
+        jnp.einsum("pij,j->pi", c["Sx"], x_hat)
+        + jnp.einsum("pij,j->pi", c["Sstep"][1:], u_prev)
+        + (jnp.einsum("pij,j->pi", c["Sv"], v_s) if v_s.shape[0] else 0.0)
+    )  # (p_max, ny)
+    e = (r_s[None, :] - free).reshape(-1)
+    f_du = -2.0 * (cand["QTheta"].T @ e)
+    f = jnp.concatenate([f_du, jnp.zeros(1, dtype)])
+
+    ones_m = jnp.ones(m_max, dtype)
+    h_list = [
+        jnp.kron(ones_m, c["dumax"]) * cand["cmask_flat"] + (1.0 - cand["cmask_flat"]),
+        -jnp.kron(ones_m, c["dumin"]) * cand["cmask_flat"] + (1.0 - cand["cmask_flat"]),
+        jnp.kron(ones_m, c["umax"] - u_prev) * cand["cmask_flat"] + (1.0 - cand["cmask_flat"]),
+        jnp.kron(ones_m, u_prev - c["umin"]) * cand["cmask_flat"] + (1.0 - cand["cmask_flat"]),
+    ]
+    if with_y:
+        rmask = jnp.repeat(cand["row_mask"], ny)
+        free_flat = free.reshape(-1)
+        ymax_flat = jnp.tile(c["ymax"], (p_max,))
+        ymin_flat = jnp.tile(c["ymin"], (p_max,))
+        h_list.append((ymax_flat - free_flat) * rmask + (1.0 - rmask))
+        h_list.append((free_flat - ymin_flat) * rmask + (1.0 - rmask))
+    h_list.append(jnp.zeros(1, dtype))
+    h = jnp.concatenate(h_list)
+    return f, h, free

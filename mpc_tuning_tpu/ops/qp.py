@@ -1,0 +1,125 @@
+"""Batched dense QP solver: infeasible-start Mehrotra predictor-corrector
+primal-dual interior point with a FIXED iteration count.
+
+    min_z  1/2 z'Hz + f'z   s.t.  G z <= h
+
+This is the TPU-native replacement for the MATLAB MPC Toolbox's built-in
+active-set QP inside ``sim``/``mpcmove`` (SURVEY.md section 2.5; the per-step
+constrained QP of /root/reference/MPC-Tuning/MPC_Tuning/closedloop_toolbox.m:50).
+Active-set methods branch data-dependently; a fixed-iteration PDIP is pure,
+shape-static, and vmaps across thousands of tuning candidates — every step
+is batched matmuls + one Cholesky solve on the MXU.
+
+Design notes
+ * infeasible start (z=0 may violate soft output constraints), standard
+   residual formulation with slacks s = h - Gz.
+ * reduced system: (H + G' diag(lam/s) G) dz = rhs, solved by Cholesky with
+   a tiny ridge for robustness at f32.
+ * fraction-to-boundary 0.995, sigma = (mu_aff/mu)^3 Mehrotra centering.
+ * rows can be disabled per-candidate by setting that row of G to 0 and
+   h to 1 (trivially satisfied) — used to mask horizon-dependent
+   constraints so one shape serves the whole candidate batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["solve_qp", "qp_kkt_residuals"]
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def solve_qp(H, f, G, h, iters: int = 30):
+    """Solve one QP.  H (n,n), f (n,), G (m,n), h (m,).  Returns (z, lam, s).
+
+    vmap over leading batch axes for the candidate-parallel version.
+    """
+    n = H.shape[0]
+    m = G.shape[0]
+    dtype = H.dtype
+
+    z = jnp.zeros(n, dtype)
+    s = jnp.maximum(h - G @ z, jnp.asarray(1.0, dtype))
+    lam = jnp.ones(m, dtype)
+
+    ridge = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-6, dtype)
+    eyen = jnp.eye(n, dtype=dtype)
+
+    # a fixed-count loop keeps iterating after convergence, where the KKT
+    # system goes singular (lam/s -> inf) and steps turn to garbage/NaN; we
+    # therefore track the best iterate by KKT merit and return that.  The
+    # comparison is NaN-safe: NaN merit never beats the incumbent.
+    w_cap = jnp.asarray(1e13 if dtype == jnp.float64 else 1e7, dtype)
+
+    def merit_of(z, lam, s):
+        r_d = H @ z + f + G.T @ lam
+        r_p = G @ z + s - h
+        return jnp.linalg.norm(r_d) + jnp.linalg.norm(r_p) + jnp.dot(lam, s)
+
+    def body(carry, _):
+        z, lam, s, best = carry
+        r_d = H @ z + f + G.T @ lam  # dual residual
+        r_p = G @ z + s - h  # primal residual
+        mu = jnp.dot(lam, s) / m
+
+        w = jnp.minimum(lam / s, w_cap)  # (m,)
+        M = H + (G.T * w) @ G + ridge * eyen
+        Lc = jnp.linalg.cholesky(M)
+
+        def solve(rhs):
+            y1 = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
+            return jax.scipy.linalg.solve_triangular(Lc.T, y1, lower=False)
+
+        # affine (predictor) step: r_cent = lam*s, so r_cent/s = lam
+        # reduced rhs: -r_d + G'((r_cent - lam*r_p)/s)
+        rhs_aff = -r_d + G.T @ (lam - w * r_p)
+        dz_aff = solve(rhs_aff)
+        ds_aff = -(r_p + G @ dz_aff)
+        dlam_aff = -(lam * s + lam * ds_aff) / s
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+            return jnp.minimum(1.0, 0.995 * jnp.min(ratio))
+
+        a_aff = jnp.minimum(max_step(s, ds_aff), max_step(lam, dlam_aff))
+        mu_aff = jnp.dot(lam + a_aff * dlam_aff, s + a_aff * ds_aff) / m
+        sigma = (mu_aff / (mu + 1e-30)) ** 3
+
+        # corrector: r_cent = lam*s - sigma*mu + dlam_aff*ds_aff
+        r_cent = lam * s - sigma * mu + dlam_aff * ds_aff
+        rhs = -r_d + G.T @ (r_cent / s - w * r_p)
+        dz = solve(rhs)
+        ds = -(r_p + G @ dz)
+        dlam = -(r_cent + lam * ds) / s
+
+        a = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
+        z = z + a * dz
+        s = s + a * ds
+        lam = lam + a * dlam
+
+        zb, lamb, sb, mb = best
+        mnew = merit_of(z, lam, s)
+        take = mnew < mb
+        best = (
+            jnp.where(take, z, zb),
+            jnp.where(take, lam, lamb),
+            jnp.where(take, s, sb),
+            jnp.where(take, mnew, mb),
+        )
+        return (z, lam, s, best), None
+
+    best0 = (z, lam, s, merit_of(z, lam, s))
+    (_, _, _, best), _ = jax.lax.scan(body, (z, lam, s, best0), None, length=iters)
+    z, lam, s, _ = best
+    return z, lam, s
+
+
+def qp_kkt_residuals(H, f, G, h, z, lam, s):
+    """Diagnostics: (stationarity, primal, complementarity) residual norms."""
+    r_d = H @ z + f + G.T @ lam
+    r_p = jnp.maximum(G @ z - h, 0.0)
+    comp = jnp.abs(lam * s)
+    return jnp.linalg.norm(r_d), jnp.linalg.norm(r_p), jnp.max(comp)

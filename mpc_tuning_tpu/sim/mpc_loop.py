@@ -1,0 +1,178 @@
+"""Linear MPC closed-loop + single-shot open-loop evaluators.
+
+TPU-native equivalent of
+/root/reference/MPC-Tuning/MPC_Tuning/closedloop_toolbox.m:
+ * closed loop = per-step [Kalman update -> condensed QP -> first move ->
+   plant step] as a pure `lax.scan` (the reference calls the toolbox
+   ``sim(mpcobj,nit,r,v)``, line 50);
+ * open loop = solve the QP once from rest with the final setpoint, play
+   the full optimal sequence through the model (lines 83-100) — the
+   horizon-sanity signal used by the VNS objective (VNS2.m:171-177).
+
+All signals here are in CONDITIONED units (the L/R conditioning of
+MPCTuning.m:152-200 is applied by the caller); ScaleFactor scaling is
+internal to the controller.  Everything is shape-static at (p_max, m_max)
+so `vmap` over candidates (N, Nu, delta, lambda) compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_tuning_tpu.models.lti import DiscreteSS
+from mpc_tuning_tpu.ops.mpc_qp import (
+    MPCController,
+    assemble_candidate,
+    controller_arrays,
+    qp_step_data,
+)
+from mpc_tuning_tpu.ops.qp import solve_qp
+
+__all__ = ["MPCLoop"]
+
+
+@dataclasses.dataclass
+class MPCLoop:
+    """Bound pair of (controller, true plant) ready to simulate."""
+
+    ctl: MPCController
+    plant_ss: DiscreteSS  # conditioned true plant, inputs [MV, MD]
+
+    # static ints for jit
+    @property
+    def dims(self):
+        s = self.ctl.spec
+        return dict(
+            p_max=s.p_max, m_max=s.m_max, ny=s.model.ny, nu=s.n_mv,
+            nd=s.n_md, with_y=s.has_y_constraints, rho=float(s.rho_eps),
+        )
+
+    def arrays(self, dtype=jnp.float64):
+        c = controller_arrays(self.ctl, dtype)
+        c["A_pl"] = jnp.asarray(self.plant_ss.A, dtype)
+        c["B_pl"] = jnp.asarray(self.plant_ss.B, dtype)
+        c["C_pl"] = jnp.asarray(self.plant_ss.C, dtype)
+        # conditioned internal model for the open-loop playback
+        mss = self.ctl.spec.model
+        c["A_pl_model"] = jnp.asarray(mss.A, dtype)
+        c["B_pl_model"] = jnp.asarray(mss.B, dtype)
+        c["C_pl_model"] = jnp.asarray(mss.C, dtype)
+        return c
+
+    # -------------------------------------------------------------- API
+    def simulate(self, r, v, nit, N, Nu, delta, lam, dtype=jnp.float64,
+                 qp_iters: int = 30):
+        """Closed loop.  r (nit, ny), v (nit, nd) conditioned units.
+        Returns (y, u) conditioned, shapes (nit, ny), (nit, nu)."""
+        c = self.arrays(dtype)
+        d = self.dims
+        y, u = _closed_loop(
+            c, jnp.asarray(r[:nit], dtype), jnp.asarray(v[:nit], dtype),
+            jnp.asarray(N), jnp.asarray(Nu),
+            jnp.asarray(delta, dtype), jnp.asarray(lam, dtype),
+            d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
+            qp_iters,
+        )
+        return np.asarray(y), np.asarray(u)
+
+    def open_loop(self, r_final, v_final, v_traj, nit, N, Nu, delta, lam,
+                  dtype=jnp.float64, qp_iters: int = 30):
+        """Single-shot optimal sequence from rest played through the model.
+        Returns (ys, uopt) conditioned, shapes (nit, ny), (nit, nu)."""
+        c = self.arrays(dtype)
+        d = self.dims
+        ys, uopt = _open_loop(
+            c, jnp.asarray(r_final, dtype), jnp.asarray(v_final, dtype),
+            jnp.asarray(v_traj[:nit], dtype),
+            jnp.asarray(N), jnp.asarray(Nu),
+            jnp.asarray(delta, dtype), jnp.asarray(lam, dtype),
+            d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
+            qp_iters,
+        )
+        return np.asarray(ys), np.asarray(uopt)
+
+
+# ---------------------------------------------------------------- kernels
+
+
+@partial(jax.jit, static_argnums=tuple(range(7, 14)))
+def _closed_loop(c, r, v, N, Nu, delta, lam,
+                 p_max, m_max, ny, nu, with_y, rho, qp_iters):
+    dtype = r.dtype
+    cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
+                              rho, with_y)
+    nxa = c["A"].shape[0]
+    nxp = c["A_pl"].shape[0]
+    sf_y, sf_u, sf_v = c["sf_y"], c["sf_u"], c["sf_v"]
+
+    def step(state, inp):
+        x_pl, x_hat_pred, u_prev = state
+        rk, vk = inp
+        y = c["C_pl"] @ x_pl
+        y_s = y / sf_y
+        v_s = vk / sf_v if vk.shape[0] else vk
+        r_s = rk / sf_y
+
+        innov = y_s - c["C"] @ x_hat_pred - (c["Dv"] @ v_s if vk.shape[0] else 0.0)
+        x_hat = x_hat_pred + c["M"] @ innov
+
+        f, h, _ = qp_step_data(c, cand, x_hat, u_prev, r_s, v_s,
+                               p_max, m_max, ny, nu, with_y)
+        z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters)
+        du = z[:nu]
+        u_s = u_prev + du
+
+        x_hat_pred = c["A"] @ x_hat + c["Bu"] @ u_s + (
+            c["Bv"] @ v_s if vk.shape[0] else 0.0
+        )
+        u_out = u_s * sf_u
+        x_pl = c["A_pl"] @ x_pl + c["B_pl"] @ jnp.concatenate([u_out, vk])
+        return (x_pl, x_hat_pred, u_s), (y, u_out)
+
+    init = (jnp.zeros(nxp, dtype), jnp.zeros(nxa, dtype), jnp.zeros(nu, dtype))
+    _, (Y, U) = jax.lax.scan(step, init, (r, v))
+    return Y, U
+
+
+@partial(jax.jit, static_argnums=tuple(range(8, 15)))
+def _open_loop(c, r_final, v_final, v_traj, N, Nu, delta, lam,
+               p_max, m_max, ny, nu, with_y, rho, qp_iters):
+    dtype = r_final.dtype
+    cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
+                              rho, with_y)
+    nxa = c["A"].shape[0]
+    nit = v_traj.shape[0]
+
+    # from rest (all case setpoints are zero at k=0, so the reference's
+    # 1-step priming sim is a no-op)
+    x_hat = jnp.zeros(nxa, dtype)
+    u_prev = jnp.zeros(nu, dtype)
+    r_s = r_final / c["sf_y"]
+    v_s = v_final / c["sf_v"] if v_final.shape[0] else v_final
+
+    f, h, _ = qp_step_data(c, cand, x_hat, u_prev, r_s, v_s,
+                           p_max, m_max, ny, nu, with_y)
+    z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters)
+    du_seq = (z[:-1] * cand["cmask_flat"]).reshape(m_max, nu)
+    u_seq = jnp.cumsum(du_seq, axis=0) * c["sf_u"][None, :]  # (m_max, nu)
+
+    # pad/hold to nit samples (closedloop_toolbox.m:94-97)
+    t_idx = jnp.arange(nit)
+    idx = jnp.clip(t_idx, 0, m_max - 1)
+    uopt = u_seq[idx] * (1.0)  # held after the control horizon
+    # model rollout of [uopt, v_traj] through the conditioned model
+    A_m, B_m, C_m = c["A_pl_model"], c["B_pl_model"], c["C_pl_model"]
+
+    def mstep(x, inp):
+        uk, vk = inp
+        y = C_m @ x
+        x = A_m @ x + B_m @ jnp.concatenate([uk, vk])
+        return x, y
+
+    _, ys = jax.lax.scan(mstep, jnp.zeros(A_m.shape[0], dtype), (uopt, v_traj))
+    return ys, uopt
