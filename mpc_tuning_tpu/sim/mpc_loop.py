@@ -100,9 +100,10 @@ class MPCLoop:
 # ---------------------------------------------------------------- kernels
 
 
-@partial(jax.jit, static_argnums=tuple(range(7, 14)))
-def _closed_loop(c, r, v, N, Nu, delta, lam,
-                 p_max, m_max, ny, nu, with_y, rho, qp_iters):
+def closed_loop_core(c, r, v, N, Nu, delta, lam,
+                     p_max, m_max, ny, nu, with_y, rho, qp_iters):
+    """Un-jitted closed-loop scan — vmap over (N, Nu, delta, lam) for the
+    candidate-batched tuning path."""
     dtype = r.dtype
     cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
                               rho, with_y)
@@ -139,9 +140,18 @@ def _closed_loop(c, r, v, N, Nu, delta, lam,
     return Y, U
 
 
-@partial(jax.jit, static_argnums=tuple(range(8, 15)))
-def _open_loop(c, r_final, v_final, v_traj, N, Nu, delta, lam,
-               p_max, m_max, ny, nu, with_y, rho, qp_iters):
+_closed_loop = partial(jax.jit, static_argnums=tuple(range(7, 14)))(closed_loop_core)
+
+# candidate batch over (N, Nu, delta, lam); r per-candidate too (the VNS
+# square-system selector sims use per-candidate setpoints, VNS2.m:148-165)
+closed_loop_batch = partial(jax.jit, static_argnums=tuple(range(7, 14)))(
+    jax.vmap(closed_loop_core,
+             in_axes=(None, 0, None, 0, 0, 0, 0) + (None,) * 7)
+)
+
+
+def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
+                   p_max, m_max, ny, nu, with_y, rho, qp_iters):
     dtype = r_final.dtype
     cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
                               rho, with_y)
@@ -176,3 +186,11 @@ def _open_loop(c, r_final, v_final, v_traj, N, Nu, delta, lam,
 
     _, ys = jax.lax.scan(mstep, jnp.zeros(A_m.shape[0], dtype), (uopt, v_traj))
     return ys, uopt
+
+
+_open_loop = partial(jax.jit, static_argnums=tuple(range(8, 15)))(open_loop_core)
+
+open_loop_batch = partial(jax.jit, static_argnums=tuple(range(8, 15)))(
+    jax.vmap(open_loop_core,
+             in_axes=(None, 0, None, None, 0, 0, 0, 0) + (None,) * 7)
+)

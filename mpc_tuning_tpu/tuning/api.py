@@ -1,0 +1,241 @@
+"""Top-level hybrid MPC tuning — the equivalent of
+/root/reference/MPC-Tuning/MPC_Tuning/MPCTuning.m + MPC_TFob.m for linear
+plants.
+
+Pipeline (MPCTuning.m:152-343):
+ 1. condition the full [G D] plant by minimum-condition-number diagonal
+    scaling (CondMin over the DC gain), rescale constraints, setpoints,
+    Yref, measured disturbances and ScaleFactors;
+ 2. bit-encode horizons: N in nbp bits (init 2^nbp-1), per-input Nu in nbc
+    bits (init 2);
+ 3. alternate GAM (continuous weights, gam.py) with VNS (integer horizons,
+    vns.py) until the GAM cost stops improving (MPC_TFob.m:108-130);
+ 4. apply the tuning and write a checkpoint artifact.
+
+All candidate evaluations inside are vmapped closed-loop simulations on
+device; this host driver only orchestrates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpc_tuning_tpu.models.lti import TransferFunction
+from mpc_tuning_tpu.ops.condmin import condmin
+from mpc_tuning_tpu.ops.mpc_qp import MPCSpec, build_controller
+from mpc_tuning_tpu.sim.mpc_loop import MPCLoop
+from mpc_tuning_tpu.tuning.gam import gam_solve
+from mpc_tuning_tpu.tuning.objectives import TuningProblem
+from mpc_tuning_tpu.tuning.vns import VNSResult, bits_to_int, int_to_bits, vns_search
+from mpc_tuning_tpu.utils.io import save_tuning
+
+__all__ = ["mpc_tuning", "TuningResult", "LinearCase"]
+
+
+@dataclasses.dataclass
+class LinearCase:
+    """Case description in raw (unconditioned) units — mirrors what the
+    reference drivers configure on the mpc object (WoodBerry.m:100-148)."""
+
+    name: str
+    plant: TransferFunction  # full [G D] continuous model used for tuning
+    n_mv: int
+    n_md: int
+    Ts: float
+    Xsp: np.ndarray  # (nit, my)
+    Yref: np.ndarray  # (nit, my)
+    mdv: np.ndarray  # (nit, n_md)
+    nit: int
+    w: np.ndarray  # pareto weights
+    umin: np.ndarray
+    umax: np.ndarray
+    dumin: np.ndarray
+    dumax: np.ndarray
+    ymin: np.ndarray
+    ymax: np.ndarray
+    ov_weight0: np.ndarray  # initial Weights.OV (zeros mark band outputs)
+    mvrate_weight0: np.ndarray  # initial Weights.MVRate
+    v_ymin: np.ndarray | None = None
+    v_ymax: np.ndarray | None = None
+    rho_eps: float = 1e5
+    sf_u: np.ndarray | None = None
+    sf_y: np.ndarray | None = None
+    sf_v: np.ndarray | None = None
+    nbp: int = 7
+    nbc: int = 4
+
+
+@dataclasses.dataclass
+class TuningResult:
+    N: int
+    Nu: np.ndarray
+    delta: np.ndarray
+    lam: np.ndarray
+    L: np.ndarray
+    R: np.ndarray
+    Ru: np.ndarray
+    Rv: np.ndarray
+    Fvns: float
+    Fgam: float
+    cond_before: float
+    cond_after: float
+    problem: TuningProblem
+    checkpoint: str | None
+    history: list
+
+
+def _condition_case(case: LinearCase):
+    """MPCTuning.m:152-200: CondMin over the full [G D] DC gain."""
+    K = case.plant.dcgain()
+    L, R, S = condmin(K)
+    ld = np.diag(L)
+    rd = np.diag(R)
+    Ru = rd[: case.n_mv]
+    Rv = rd[case.n_mv :]
+    cond_before = float(np.linalg.cond(K))
+    return L, R, Ru, Rv, S, cond_before
+
+
+def build_problem(case: LinearCase, dtype=jnp.float64, qp_iters: int = 30,
+                  L=None, R=None):
+    """Condition + assemble the TuningProblem (device-side evaluators)."""
+    if L is None or R is None:
+        L, R, Ru, Rv, S, cond_before = _condition_case(case)
+    else:
+        Ru = np.diag(R)[: case.n_mv]
+        Rv = np.diag(R)[case.n_mv :]
+        S = float(np.linalg.cond(L @ case.plant.dcgain() @ R))
+        cond_before = float(np.linalg.cond(case.plant.dcgain()))
+    ld = np.diag(L)
+
+    model_c = case.plant.scaled(L, R).c2d(case.Ts)
+    model_ss = model_c.to_ss()
+
+    p_max = 2**case.nbp - 1
+    m_max = 2**case.nbc - 1
+
+    sf_u = np.ones(case.n_mv) if case.sf_u is None else case.sf_u / Ru
+    sf_y = np.ones(model_ss.ny) if case.sf_y is None else case.sf_y * ld
+    sf_v = (np.ones(case.n_md) if case.sf_v is None else case.sf_v / np.where(Rv == 0, 1, Rv))
+
+    spec = MPCSpec(
+        model=model_ss, n_mv=case.n_mv, n_md=case.n_md,
+        p_max=p_max, m_max=m_max,
+        umin=case.umin / Ru, umax=case.umax / Ru,
+        dumin=case.dumin / Ru, dumax=case.dumax / Ru,
+        ymin=ld * case.ymin, ymax=ld * case.ymax,
+        v_ymin=case.v_ymin, v_ymax=case.v_ymax,
+        rho_eps=case.rho_eps, sf_u=sf_u, sf_y=sf_y, sf_v=sf_v,
+    )
+    ctl = build_controller(spec)
+    loop = MPCLoop(ctl=ctl, plant_ss=model_ss)  # tuning: plant == model
+
+    # per-output minimum delay (MPCTuning.m:257-262)
+    _, _, dp = model_c.descomp()
+    dmin = dp.min(axis=1)
+
+    r_c = (L @ case.Xsp[: case.nit].T).T
+    Yref_c = (L @ case.Yref[: case.nit].T).T
+    mdv_c = case.mdv[: case.nit] / np.where(Rv == 0, 1.0, Rv)[None, :] if case.n_md else case.mdv[: case.nit]
+
+    problem = TuningProblem(
+        loop=loop, r=r_c, v=mdv_c, Yref=Yref_c, nit=case.nit,
+        w=np.asarray(case.w, dtype=np.float64),
+        band_mask=np.asarray(case.ov_weight0) == 0.0,
+        dmin=dmin, nbp=case.nbp, nbc=case.nbc,
+        dtype=dtype, qp_iters=qp_iters,
+    )
+    return problem, (L, R, Ru, Rv, S, cond_before)
+
+
+def mpc_tuning(
+    case: LinearCase,
+    dtype=jnp.float64,
+    qp_iters: int = 30,
+    gam_popsize: int = 16,
+    gam_generations: int = 25,
+    max_alternations: int = 10,
+    seed: int = 0,
+    checkpoint_dir: str | None = "checkpoints",
+    verbose: bool = True,
+) -> TuningResult:
+    problem, (L, R, Ru, Rv, S, cond_before) = build_problem(case, dtype, qp_iters)
+    my, nu = problem.my, problem.nu
+
+    # bit-encoded horizons: init N=2^nbp-1, Nu=2 (MPCTuning.m:283-289)
+    Xv1 = np.ones(case.nbp, dtype=np.int64)
+    Xv2 = np.stack([int_to_bits(2, case.nbc) for _ in range(nu)])
+    N = bits_to_int(Xv1)
+    Nu = np.array([2] * nu)
+
+    x0 = np.concatenate([case.ov_weight0, case.mvrate_weight0]).astype(np.float64)
+    x0 = np.maximum(np.abs(x0), 1e-5)
+
+    Fv = 1e30  # global VNS incumbent (MPCTuning.m:292 / VNS2 global Fv)
+    Fva = 1e9
+    Fvf = 1e15
+    hi = 0
+    best = dict(N=N, Nu=Nu, Xv1=Xv1, Xv2=Xv2, delta=None, lam=None)
+    history = []
+    delta = lam = None
+
+    for it in range(max_alternations):
+        # ---- GAM: continuous weights at current incumbent horizons
+        g = gam_solve(
+            problem, int(best["N"]), int(np.max(best["Nu"])), x0,
+            popsize=gam_popsize, generations=gam_generations, seed=seed + it,
+        )
+        x0 = g.x.copy()
+        delta = np.where(problem.band_mask, 0.0, np.abs(g.x[:my]))
+        lam = np.abs(g.x[my:])
+        Fgam = round(float(np.sum(g.F)), 2)
+        if verbose:
+            tag = "over" if g.gamma < 0 else "under"
+            print(f"[GAM {it}] Fgam={Fgam} gamma={g.gamma:.4g} ({tag}-achievement) "
+                  f"delta={np.round(delta,4)} lambda={np.round(lam,4)}")
+
+        if Fgam >= Fvf:
+            hi += 1
+        else:
+            Fvf = Fgam
+            best["delta"] = delta.copy()
+            best["lam"] = lam.copy()
+
+        # ---- VNS: integer horizons at last accepted weights
+        d_use = best["delta"] if best["delta"] is not None else delta
+        l_use = best["lam"] if best["lam"] is not None else lam
+        vr = vns_search(problem, best["Xv1"], best["Xv2"], d_use, l_use, Fv,
+                        verbose=verbose)
+        Fv = vr.Fv
+        if vr.Fv < Fva:
+            Fva = vr.Fv
+            best.update(N=vr.N, Nu=vr.Nu, Xv1=vr.Xv1, Xv2=vr.Xv2)
+
+        history.append(dict(it=it, Fgam=Fgam, gamma=g.gamma, Fvns=vr.Fv,
+                            N=int(vr.N), Nu=vr.Nu.tolist(),
+                            delta=delta.tolist(), lam=lam.tolist()))
+        if hi > 0:
+            break  # stop rule (MPC_TFob.m:108-130)
+
+    # the reference applies the LAST GAM weights (MPC_TFob.m:137-140)
+    final_delta, final_lam = delta, lam
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = save_tuning(
+            checkpoint_dir, case.name, best["N"], best["Nu"],
+            final_delta, final_lam, L, R, [Fva, Fvf],
+            meta=dict(cond_before=cond_before, cond_after=S),
+        )
+    if verbose:
+        print(f"N={best['N']}; Nu={best['Nu']}; delta=[{np.round(final_delta,4)}]; "
+              f"lambda=[{np.round(final_lam,4)}]; Fob=[{Fva};{Fvf}]")
+
+    return TuningResult(
+        N=int(best["N"]), Nu=best["Nu"], delta=final_delta, lam=final_lam,
+        L=L, R=R, Ru=Ru, Rv=Rv, Fvns=Fva, Fgam=Fvf,
+        cond_before=cond_before, cond_after=S,
+        problem=problem, checkpoint=ckpt, history=history,
+    )

@@ -1,0 +1,173 @@
+"""Tuning objectives evaluated as batched closed-loop simulations.
+
+GAM objective (GAM_fun.m:79-117): per-output SSE of the closed loop against
+the desired reference trajectory Yref, with the candidate weights.
+
+VNS objective (VNS2.m:148-195): per candidate (N, Nu),
+  j21 — closed loop vs single-shot open-loop playback mismatch,
+  j22 — closed loop vs Yref,
+  Jnu — squared ratio of the first open-loop control move to subsequent
+        increments (horizon-parsimony penalty, NaN/Inf -> 0),
+  F = sum(j21 + j22) + N + sum(Jnu),
+with the square-system per-output setpoint-selector protocol
+(unit steps at inK=10 on one output at a time, VNS2.m:58-65,148-165) and the
+single-sim protocol with the case setpoints for non-square systems.
+
+Every candidate (and every selector) is one lane of a vmapped scan — the
+whole neighborhood/population evaluates in one device call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpc_tuning_tpu.sim.mpc_loop import MPCLoop, closed_loop_batch, open_loop_batch
+
+__all__ = ["TuningProblem", "gam_sse_batch", "vns_objective_batch"]
+
+
+@dataclasses.dataclass
+class TuningProblem:
+    """Everything the tuner needs about one case (conditioned units)."""
+
+    loop: MPCLoop
+    r: np.ndarray  # (nit, ny) case setpoints (conditioned)
+    v: np.ndarray  # (nit, nd) measured disturbance (conditioned)
+    Yref: np.ndarray  # (nit, ny) desired response (conditioned)
+    nit: int
+    w: np.ndarray  # (my,) pareto weights
+    band_mask: np.ndarray  # (my,) True where user OV weight == 0 (band control)
+    dmin: np.ndarray  # (my,) per-output minimum delay (samples)
+    nbp: int
+    nbc: int
+    inK: int = 10
+    goal: float = 0.001
+    dtype: object = jnp.float64
+    qp_iters: int = 30
+
+    @property
+    def my(self) -> int:
+        return self.loop.ctl.spec.model.ny
+
+    @property
+    def nu(self) -> int:
+        return self.loop.ctl.spec.n_mv
+
+    @property
+    def square(self) -> bool:
+        return self.my == self.nu
+
+    def _statics(self):
+        d = self.loop.dims
+        return (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
+                self.qp_iters)
+
+    def closed_batch(self, r_b, N_b, Nu_b, delta_b, lam_b):
+        c = self.loop.arrays(self.dtype)
+        v = jnp.asarray(self.v[: self.nit], self.dtype)
+        return closed_loop_batch(
+            c, jnp.asarray(r_b, self.dtype), v,
+            jnp.asarray(N_b), jnp.asarray(Nu_b),
+            jnp.asarray(delta_b, self.dtype), jnp.asarray(lam_b, self.dtype),
+            *self._statics(),
+        )
+
+    def open_batch(self, rfin_b, N_b, Nu_b, delta_b, lam_b):
+        c = self.loop.arrays(self.dtype)
+        v = jnp.asarray(self.v[: self.nit], self.dtype)
+        v_final = jnp.asarray(self.v[self.nit - 1], self.dtype)
+        return open_loop_batch(
+            c, jnp.asarray(rfin_b, self.dtype), v_final, v,
+            jnp.asarray(N_b), jnp.asarray(Nu_b),
+            jnp.asarray(delta_b, self.dtype), jnp.asarray(lam_b, self.dtype),
+            *self._statics(),
+        )
+
+
+def _apply_band(delta: np.ndarray, band_mask: np.ndarray) -> np.ndarray:
+    """Zero user OV weight => band control: delta forced to 0
+    (GAM_fun.m:58-72, MPC_TFob.m:83-93)."""
+    return np.where(band_mask, 0.0, delta)
+
+
+def gam_sse_batch(problem: TuningProblem, N: int, Nu: int, X: np.ndarray) -> np.ndarray:
+    """Evaluate the GAM objective for a batch of weight vectors.
+
+    X: (B, my+nu) decision vectors [delta, lambda] (abs is applied, as in
+    GAM_fun.m:55-76).  Returns (B, my) per-output SSE vs Yref.
+    """
+    B = X.shape[0]
+    my, nu = problem.my, problem.nu
+    delta = _apply_band(np.abs(X[:, :my]), problem.band_mask[None, :])
+    lam = np.abs(X[:, my:])
+    r_b = np.broadcast_to(problem.r[: problem.nit], (B, problem.nit, my))
+    N_b = np.full(B, N, dtype=np.int64)
+    Nu_b = np.full(B, Nu, dtype=np.int64)
+    Y, _ = problem.closed_batch(r_b, N_b, Nu_b, delta, lam)
+    err = np.asarray(Y) - problem.Yref[None, : problem.nit, :]
+    return np.sum(err * err, axis=1)  # (B, my)
+
+
+def vns_objective_batch(
+    problem: TuningProblem,
+    N_b: np.ndarray,  # (B,) shared prediction horizon per candidate
+    Nu_b: np.ndarray,  # (B,) max control horizon per candidate
+    delta: np.ndarray,  # (my,) current weights
+    lam: np.ndarray,  # (nu,)
+) -> np.ndarray:
+    """VNS cost F for each candidate (VNS2.m:171-195).  Returns (B,)."""
+    B = len(N_b)
+    my, nu, nit, inK = problem.my, problem.nu, problem.nit, problem.inK
+    delta = _apply_band(np.abs(np.asarray(delta, dtype=np.float64)),
+                        problem.band_mask)
+    lam = np.abs(np.asarray(lam, dtype=np.float64))
+
+    if problem.square:
+        # unit-step setpoint selectors: lane (cand, output i) simulates with
+        # r = step at inK on output i only
+        steps = np.zeros((my, nit, my))
+        for i in range(my):
+            steps[i, inK - 1 :, i] = 1.0
+        r_b = np.broadcast_to(steps[None], (B, my, nit, my)).reshape(B * my, nit, my)
+        rfin_b = np.broadcast_to(np.eye(my)[None], (B, my, my)).reshape(B * my, my)
+        N_l = np.repeat(N_b, my)
+        Nu_l = np.repeat(Nu_b, my)
+        d_l = np.broadcast_to(delta, (B * my, my))
+        l_l = np.broadcast_to(lam, (B * my, nu))
+        Yc, Uc = problem.closed_batch(r_b, N_l, Nu_l, d_l, l_l)
+        Yo, Uo = problem.open_batch(rfin_b, N_l, Nu_l, d_l, l_l)
+        Yc = np.asarray(Yc).reshape(B, my, nit, my)
+        Yo = np.asarray(Yo).reshape(B, my, nit, my)
+        Uo = np.asarray(Uo).reshape(B, my, nit, nu)
+        # take row i from lane i (VNS2.m:156-160)
+        idx = np.arange(my)
+        Xy = Yc[:, idx, :, idx].transpose(1, 0, 2)  # (B, my, nit)
+        Xyma = Yo[:, idx, :, idx].transpose(1, 0, 2)
+        Xuma = Uo[:, idx, :, idx].transpose(1, 0, 2)  # (B, ny, nit), square
+    else:
+        r_b = np.broadcast_to(problem.r[:nit], (B, nit, my))
+        rfin_b = np.broadcast_to(problem.r[nit - 1], (B, my))
+        d_b = np.broadcast_to(delta, (B, my))
+        l_b = np.broadcast_to(lam, (B, nu))
+        Yc, Uc = problem.closed_batch(r_b, N_b, Nu_b, d_b, l_b)
+        Yo, Uo = problem.open_batch(rfin_b, N_b, Nu_b, d_b, l_b)
+        Xy = np.asarray(Yc).transpose(0, 2, 1)  # (B, my, nit)
+        Xyma = np.asarray(Yo).transpose(0, 2, 1)
+        Xuma = np.asarray(Uo).transpose(0, 2, 1)  # (B, nu, nit)
+
+    k0 = inK - 1  # MATLAB inK 1-indexed
+    e2 = Xy[:, :, k0:] - Xyma[:, :, k0:]
+    eref = Xy[:, :, k0:] - problem.Yref[:nit].T[None, :, k0:]
+    j21 = np.sum(e2 * e2, axis=(1, 2))
+    j22 = np.sum(eref * eref, axis=(1, 2))
+
+    dff = np.abs(np.diff(Xuma, axis=2))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Xnu = np.abs(Xuma[:, :, :1]) / dff
+    Xnu[~np.isfinite(Xnu)] = 0.0
+    Jnu = np.sum(Xnu * Xnu, axis=(1, 2))
+
+    return j21 + j22 + N_b.astype(np.float64) + Jnu

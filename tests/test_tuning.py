@@ -1,0 +1,67 @@
+"""End-to-end hybrid tuning smoke test on a reduced Wood-Berry problem
+(small bit-widths / budgets so it runs on the CPU test mesh in ~minutes).
+Checks the alternation loop produces valid horizons (PreCon), positive
+weights, improves the VNS objective, and the tuned controller tracks."""
+
+import numpy as np
+import pytest
+
+from mpc_tuning_tpu.models import plants
+from mpc_tuning_tpu.tuning.api import LinearCase, mpc_tuning
+
+
+def _wb_case(nit=120, nbp=5, nbc=3):
+    p = plants.wood_berry()
+    # reference trajectory: first-order Pref tau=10/7 with 1-sample delay
+    from mpc_tuning_tpu.models import lti
+    from mpc_tuning_tpu.models.simulate import dlsim
+
+    Xsp = np.zeros((nit, 2))
+    Xsp[9:, 0] = 0.8
+    Xsp[60:, 1] = 0.5
+    pref = lti.TransferFunction(
+        [[lti.tf([1.0], [10.0, 1.0], 1.0), lti.tf([0.0], [1.0])],
+         [lti.tf([0.0], [1.0]), lti.tf([1.0], [7.0, 1.0], 1.0)]]
+    ).c2d(1.0).to_ss()
+    Yref = dlsim(pref, Xsp)
+    mdv = np.zeros((nit, 1))
+    mdv[100:, 0] = -0.25
+    return LinearCase(
+        name="wb_test",
+        plant=p.full, n_mv=2, n_md=1, Ts=1.0,
+        Xsp=Xsp, Yref=Yref, mdv=mdv, nit=nit,
+        w=np.array([0.1, 0.5]),
+        umin=np.array([-0.5, -0.5]), umax=np.array([0.5, 0.5]),
+        dumin=np.array([-0.05, -0.05]), dumax=np.array([0.05, 0.05]),
+        ymin=np.full(2, -np.inf), ymax=np.full(2, np.inf),
+        ov_weight0=np.array([1.0, 1.0]), mvrate_weight0=np.array([0.1, 0.1]),
+        nbp=nbp, nbc=nbc,
+    )
+
+
+@pytest.mark.slow
+def test_wood_berry_tuning_end_to_end(tmp_path):
+    case = _wb_case()
+    res = mpc_tuning(
+        case, qp_iters=20, gam_popsize=8, gam_generations=6,
+        max_alternations=2, checkpoint_dir=str(tmp_path), verbose=True,
+    )
+    # PreCon validity (PreCon.m:23-27)
+    assert res.N > int(np.max(res.Nu))
+    assert np.all(res.Nu >= 2)
+    assert res.N <= 2**case.nbp - 1
+    # weights positive, finite
+    assert np.all(res.delta >= 0) and np.all(np.isfinite(res.delta))
+    assert np.all(res.lam > 0) and np.all(np.isfinite(res.lam))
+    # VNS improved from the 1e30 sentinel and the conditioning improved
+    assert res.Fvns < 1e9
+    assert res.cond_after < res.cond_before
+    assert res.checkpoint is not None
+
+    # tuned controller must track the case setpoints offset-free
+    prob = res.problem
+    y, u = prob.loop.simulate(
+        prob.r, prob.v, case.nit, res.N, int(np.max(res.Nu)), res.delta, res.lam
+    )
+    # conditioned setpoint before the disturbance kicks in
+    np.testing.assert_allclose(y[98], prob.r[98], atol=0.06)
