@@ -165,14 +165,28 @@ def build_controller(spec: MPCSpec, q_plant: float = 0.0) -> MPCController:
 def controller_arrays(ctl: MPCController, dtype=jnp.float64) -> dict:
     """Device-ready constant dict."""
     spec = ctl.spec
+    def fin(x, alt=0.0):
+        m = np.isfinite(x) & (np.abs(x) < 1e20)
+        return np.where(m, x, alt), m.astype(np.float64)
+
+    umin_f, en_u_lo = fin(ctl.umin_s)
+    umax_f, en_u_hi = fin(ctl.umax_s)
+    dumin_f, en_du_lo = fin(ctl.dumin_s)
+    dumax_f, en_du_hi = fin(ctl.dumax_s)
+    ymin_f, en_y_lo = fin(ctl.ymin_s)
+    ymax_f, en_y_hi = fin(ctl.ymax_s)
     out = {
         "A": ctl.A, "Bu": ctl.Bu, "Bv": ctl.Bv, "C": ctl.C, "Dv": ctl.Dv,
         "M": ctl.M, "Sx": ctl.Sx, "Sstep": ctl.Sstep, "Sv": ctl.Sv,
         "Theta": ctl.Theta, "Tcum": ctl.Tcum,
-        "umin": ctl.umin_s, "umax": ctl.umax_s,
-        "dumin": ctl.dumin_s, "dumax": ctl.dumax_s,
-        "ymin": np.where(np.isfinite(ctl.ymin_s), ctl.ymin_s, -1e30),
-        "ymax": np.where(np.isfinite(ctl.ymax_s), ctl.ymax_s, 1e30),
+        "umin": umin_f, "umax": umax_f,
+        "dumin": dumin_f, "dumax": dumax_f,
+        "ymin": ymin_f, "ymax": ymax_f,
+        # finite-bound row enables: +-inf bounds become disabled QP rows so
+        # no huge h values reach the interior-point arithmetic (f32-safe)
+        "en_u_lo": en_u_lo, "en_u_hi": en_u_hi,
+        "en_du_lo": en_du_lo, "en_du_hi": en_du_hi,
+        "en_y_lo": en_y_lo, "en_y_hi": en_y_hi,
         "vymin": spec.v_ymin, "vymax": spec.v_ymax,
         "sf_u": spec.sf_u, "sf_y": spec.sf_y,
         "sf_v": spec.sf_v if spec.n_md else np.zeros(0),
@@ -209,22 +223,28 @@ def assemble_candidate(c: dict, N, Nu, delta, lam, p_max: int, m_max: int,
     H = H.at[:-1, :-1].set(Hdu)
     H = H.at[-1, -1].set(2.0 * rho_eps)
 
-    # constraint matrix
+    # constraint matrix; rows for +-inf bounds are disabled via en_* masks
+    ones_m = jnp.ones(m_max, dtype)
+    en_du_hi = cmask_flat * jnp.kron(ones_m, c["en_du_hi"])
+    en_du_lo = cmask_flat * jnp.kron(ones_m, c["en_du_lo"])
+    en_u_hi = cmask_flat * jnp.kron(ones_m, c["en_u_hi"])
+    en_u_lo = cmask_flat * jnp.kron(ones_m, c["en_u_lo"])
     I_du = jnp.eye(m_max * nu, dtype=dtype)
     Tcum = c["Tcum"] * cmask_flat[None, :]
     zero_col = jnp.zeros((m_max * nu, 1), dtype)
     blocks = [
-        jnp.hstack([I_du * cmask_flat[:, None], zero_col]),     # du <= dumax
-        jnp.hstack([-I_du * cmask_flat[:, None], zero_col]),    # -du <= -dumin
-        jnp.hstack([Tcum * cmask_flat[:, None], zero_col]),     # u <= umax
-        jnp.hstack([-Tcum * cmask_flat[:, None], zero_col]),    # -u <= -umin
+        jnp.hstack([I_du, zero_col]) * en_du_hi[:, None],   # du <= dumax
+        jnp.hstack([-I_du, zero_col]) * en_du_lo[:, None],  # -du <= -dumin
+        jnp.hstack([Tcum, zero_col]) * en_u_hi[:, None],    # u <= umax
+        jnp.hstack([-Tcum, zero_col]) * en_u_lo[:, None],   # -u <= -umin
     ]
     if with_y:
         vmax_col = jnp.tile(c["vymax"], (p_max,)).reshape(-1, 1)
         vmin_col = jnp.tile(c["vymin"], (p_max,)).reshape(-1, 1)
-        rmask_flat = jnp.repeat(row_mask, ny)[:, None]
-        blocks.append(jnp.hstack([Theta, -vmax_col]) * rmask_flat)
-        blocks.append(jnp.hstack([-Theta, -vmin_col]) * rmask_flat)
+        en_y_hi = (jnp.repeat(row_mask, ny) * jnp.tile(c["en_y_hi"], (p_max,)))[:, None]
+        en_y_lo = (jnp.repeat(row_mask, ny) * jnp.tile(c["en_y_lo"], (p_max,)))[:, None]
+        blocks.append(jnp.hstack([Theta, -vmax_col]) * en_y_hi)
+        blocks.append(jnp.hstack([-Theta, -vmin_col]) * en_y_lo)
     eps_row = jnp.zeros((1, n), dtype).at[0, -1].set(-1.0)
     blocks.append(eps_row)  # -eps <= 0
     G = jnp.vstack(blocks)
@@ -233,6 +253,8 @@ def assemble_candidate(c: dict, N, Nu, delta, lam, p_max: int, m_max: int,
         "H": H, "G": G, "Theta": Theta, "QTheta": QTheta,
         "row_mask": row_mask, "col_mask": col_mask,
         "cmask_flat": cmask_flat,
+        "en_du_hi": en_du_hi, "en_du_lo": en_du_lo,
+        "en_u_hi": en_u_hi, "en_u_lo": en_u_lo,
     }
 
 
@@ -254,18 +276,19 @@ def qp_step_data(c: dict, cand: dict, x_hat, u_prev, r_s, v_s,
 
     ones_m = jnp.ones(m_max, dtype)
     h_list = [
-        jnp.kron(ones_m, c["dumax"]) * cand["cmask_flat"] + (1.0 - cand["cmask_flat"]),
-        -jnp.kron(ones_m, c["dumin"]) * cand["cmask_flat"] + (1.0 - cand["cmask_flat"]),
-        jnp.kron(ones_m, c["umax"] - u_prev) * cand["cmask_flat"] + (1.0 - cand["cmask_flat"]),
-        jnp.kron(ones_m, u_prev - c["umin"]) * cand["cmask_flat"] + (1.0 - cand["cmask_flat"]),
+        jnp.kron(ones_m, c["dumax"]) * cand["en_du_hi"] + (1.0 - cand["en_du_hi"]),
+        -jnp.kron(ones_m, c["dumin"]) * cand["en_du_lo"] + (1.0 - cand["en_du_lo"]),
+        jnp.kron(ones_m, c["umax"] - u_prev) * cand["en_u_hi"] + (1.0 - cand["en_u_hi"]),
+        jnp.kron(ones_m, u_prev - c["umin"]) * cand["en_u_lo"] + (1.0 - cand["en_u_lo"]),
     ]
     if with_y:
-        rmask = jnp.repeat(cand["row_mask"], ny)
+        rmask_hi = jnp.repeat(cand["row_mask"], ny) * jnp.tile(c["en_y_hi"], (p_max,))
+        rmask_lo = jnp.repeat(cand["row_mask"], ny) * jnp.tile(c["en_y_lo"], (p_max,))
         free_flat = free.reshape(-1)
         ymax_flat = jnp.tile(c["ymax"], (p_max,))
         ymin_flat = jnp.tile(c["ymin"], (p_max,))
-        h_list.append((ymax_flat - free_flat) * rmask + (1.0 - rmask))
-        h_list.append((free_flat - ymin_flat) * rmask + (1.0 - rmask))
+        h_list.append((ymax_flat - free_flat) * rmask_hi + (1.0 - rmask_hi))
+        h_list.append((free_flat - ymin_flat) * rmask_lo + (1.0 - rmask_lo))
     h_list.append(jnp.zeros(1, dtype))
     h = jnp.concatenate(h_list)
     return f, h, free
