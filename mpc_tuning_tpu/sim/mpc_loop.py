@@ -64,6 +64,32 @@ class MPCLoop:
         c["C_pl_model"] = jnp.asarray(mss.C, dtype)
         return c
 
+    # ------------------------------------------------- batched tuning API
+    def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
+                     qp_iters):
+        c = self.arrays(dtype)
+        d = self.dims
+        return closed_loop_batch(
+            c, jnp.asarray(r_b[:, :nit], dtype), jnp.asarray(v[:nit], dtype),
+            jnp.asarray(N_b), jnp.asarray(Nu_b),
+            jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
+            d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
+            qp_iters,
+        )
+
+    def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
+                   qp_iters):
+        c = self.arrays(dtype)
+        d = self.dims
+        return open_loop_batch(
+            c, jnp.asarray(rfin_b, dtype), jnp.asarray(v[nit - 1], dtype),
+            jnp.asarray(v[:nit], dtype),
+            jnp.asarray(N_b), jnp.asarray(Nu_b),
+            jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
+            d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
+            qp_iters,
+        )
+
     # -------------------------------------------------------------- API
     def simulate(self, r, v, nit, N, Nu, delta, lam, dtype=jnp.float64,
                  qp_iters: int = 30):

@@ -151,28 +151,28 @@ def build_problem(case: LinearCase, dtype=jnp.float64, qp_iters: int = 30,
     return problem, (L, R, Ru, Rv, S, cond_before)
 
 
-def mpc_tuning(
-    case: LinearCase,
-    dtype=jnp.float64,
-    qp_iters: int = 30,
+def hybrid_tune(
+    problem: TuningProblem,
+    nbp: int,
+    nbc: int,
+    x0: np.ndarray,
     gam_popsize: int = 16,
     gam_generations: int = 25,
     max_alternations: int = 10,
     seed: int = 0,
-    checkpoint_dir: str | None = "checkpoints",
     verbose: bool = True,
-) -> TuningResult:
-    problem, (L, R, Ru, Rv, S, cond_before) = build_problem(case, dtype, qp_iters)
+):
+    """The GAM <-> VNS alternation of MPC_TFob.m:56-132 over any
+    TuningProblem (linear toolbox-MPC or NMPC)."""
     my, nu = problem.my, problem.nu
 
     # bit-encoded horizons: init N=2^nbp-1, Nu=2 (MPCTuning.m:283-289)
-    Xv1 = np.ones(case.nbp, dtype=np.int64)
-    Xv2 = np.stack([int_to_bits(2, case.nbc) for _ in range(nu)])
+    Xv1 = np.ones(nbp, dtype=np.int64)
+    Xv2 = np.stack([int_to_bits(2, nbc) for _ in range(nu)])
     N = bits_to_int(Xv1)
     Nu = np.array([2] * nu)
 
-    x0 = np.concatenate([case.ov_weight0, case.mvrate_weight0]).astype(np.float64)
-    x0 = np.maximum(np.abs(x0), 1e-5)
+    x0 = np.maximum(np.abs(np.asarray(x0, dtype=np.float64)), 1e-5)
 
     Fv = 1e30  # global VNS incumbent (MPCTuning.m:292 / VNS2 global Fv)
     Fva = 1e9
@@ -221,6 +221,29 @@ def mpc_tuning(
             break  # stop rule (MPC_TFob.m:108-130)
 
     # the reference applies the LAST GAM weights (MPC_TFob.m:137-140)
+    return best, delta, lam, Fva, Fvf, history
+
+
+def mpc_tuning(
+    case: LinearCase,
+    dtype=jnp.float64,
+    qp_iters: int = 30,
+    gam_popsize: int = 16,
+    gam_generations: int = 25,
+    max_alternations: int = 10,
+    seed: int = 0,
+    checkpoint_dir: str | None = "checkpoints",
+    verbose: bool = True,
+) -> TuningResult:
+    problem, (L, R, Ru, Rv, S, cond_before) = build_problem(case, dtype, qp_iters)
+    x0 = np.concatenate([case.ov_weight0, case.mvrate_weight0])
+
+    best, delta, lam, Fva, Fvf, history = hybrid_tune(
+        problem, case.nbp, case.nbc, x0,
+        gam_popsize=gam_popsize, gam_generations=gam_generations,
+        max_alternations=max_alternations, seed=seed, verbose=verbose,
+    )
+
     final_delta, final_lam = delta, lam
     ckpt = None
     if checkpoint_dir is not None:

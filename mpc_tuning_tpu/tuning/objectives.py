@@ -24,7 +24,7 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from mpc_tuning_tpu.sim.mpc_loop import MPCLoop, closed_loop_batch, open_loop_batch
+from mpc_tuning_tpu.sim.mpc_loop import MPCLoop  # noqa: F401 (typing/docs)
 
 __all__ = ["TuningProblem", "gam_sse_batch", "vns_objective_batch"]
 
@@ -47,43 +47,34 @@ class TuningProblem:
     goal: float = 0.001
     dtype: object = jnp.float64
     qp_iters: int = 30
+    linear: bool = True  # False => NMPC loop, nonlinear VNS protocol
 
     @property
     def my(self) -> int:
-        return self.loop.ctl.spec.model.ny
+        if hasattr(self.loop, "ctl"):
+            return self.loop.ctl.spec.model.ny
+        return self.loop.spec.ny
 
     @property
     def nu(self) -> int:
-        return self.loop.ctl.spec.n_mv
+        if hasattr(self.loop, "ctl"):
+            return self.loop.ctl.spec.n_mv
+        return self.loop.spec.nu
 
     @property
     def square(self) -> bool:
         return self.my == self.nu
 
-    def _statics(self):
-        d = self.loop.dims
-        return (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
-                self.qp_iters)
-
     def closed_batch(self, r_b, N_b, Nu_b, delta_b, lam_b):
-        c = self.loop.arrays(self.dtype)
-        v = jnp.asarray(self.v[: self.nit], self.dtype)
-        return closed_loop_batch(
-            c, jnp.asarray(r_b, self.dtype), v,
-            jnp.asarray(N_b), jnp.asarray(Nu_b),
-            jnp.asarray(delta_b, self.dtype), jnp.asarray(lam_b, self.dtype),
-            *self._statics(),
+        return self.loop.closed_batch(
+            jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
+            self.nit, self.dtype, self.qp_iters,
         )
 
     def open_batch(self, rfin_b, N_b, Nu_b, delta_b, lam_b):
-        c = self.loop.arrays(self.dtype)
-        v = jnp.asarray(self.v[: self.nit], self.dtype)
-        v_final = jnp.asarray(self.v[self.nit - 1], self.dtype)
-        return open_loop_batch(
-            c, jnp.asarray(rfin_b, self.dtype), v_final, v,
-            jnp.asarray(N_b), jnp.asarray(Nu_b),
-            jnp.asarray(delta_b, self.dtype), jnp.asarray(lam_b, self.dtype),
-            *self._statics(),
+        return self.loop.open_batch(
+            jnp.asarray(rfin_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
+            self.nit, self.dtype, self.qp_iters,
         )
 
 
@@ -126,13 +117,21 @@ def vns_objective_batch(
     lam = np.abs(np.asarray(lam, dtype=np.float64))
 
     if problem.square:
-        # unit-step setpoint selectors: lane (cand, output i) simulates with
-        # r = step at inK on output i only
-        steps = np.zeros((my, nit, my))
-        for i in range(my):
-            steps[i, inK - 1 :, i] = 1.0
+        if problem.linear:
+            # unit-step setpoint selectors: lane (cand, output i) simulates
+            # with r = step at inK on output i only (VNS2.m:58-65)
+            steps = np.zeros((my, nit, my))
+            for i in range(my):
+                steps[i, inK - 1 :, i] = 1.0
+        else:
+            # nonlinear VNS keeps the case setpoints, zeroed outside the
+            # selected output (VNS2.m:68-73,155: Xsp .* sel)
+            steps = np.zeros((my, nit, my))
+            for i in range(my):
+                steps[i, :, i] = problem.r[:nit, i]
+        rfin = steps[:, -1, :]  # (my, my): final setpoint per selector lane
+        rfin_b = np.broadcast_to(rfin[None], (B, my, my)).reshape(B * my, my)
         r_b = np.broadcast_to(steps[None], (B, my, nit, my)).reshape(B * my, nit, my)
-        rfin_b = np.broadcast_to(np.eye(my)[None], (B, my, my)).reshape(B * my, my)
         N_l = np.repeat(N_b, my)
         Nu_l = np.repeat(Nu_b, my)
         d_l = np.broadcast_to(delta, (B * my, my))
