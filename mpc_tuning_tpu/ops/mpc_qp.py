@@ -249,7 +249,12 @@ def assemble_candidate(c: dict, N, Nu, delta, lam, p_max: int, m_max: int,
     blocks.append(eps_row)  # -eps <= 0
     G = jnp.vstack(blocks)
 
+    from mpc_tuning_tpu.ops.qp import admm_precompute
+
+    admm = admm_precompute(H, G)
+
     return {
+        "admm": admm,
         "H": H, "G": G, "Theta": Theta, "QTheta": QTheta,
         "row_mask": row_mask, "col_mask": col_mask,
         "cmask_flat": cmask_flat,

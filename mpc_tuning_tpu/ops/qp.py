@@ -31,11 +31,15 @@ import jax.numpy as jnp
 __all__ = ["solve_qp", "qp_kkt_residuals"]
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def solve_qp(H, f, G, h, iters: int = 30):
+@partial(jax.jit, static_argnames=("iters", "use_pallas"))
+def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False):
     """Solve one QP.  H (n,n), f (n,), G (m,n), h (m,).  Returns (z, lam, s).
 
     vmap over leading batch axes for the candidate-parallel version.
+    use_pallas routes the reduced-system solves through the lane-batched
+    Pallas Cholesky kernel (ops/pallas_kernels.py) — essential on TPU where
+    XLA's batched small Cholesky is the bottleneck of the whole tuning
+    workload.
     """
     n = H.shape[0]
     m = G.shape[0]
@@ -67,11 +71,17 @@ def solve_qp(H, f, G, h, iters: int = 30):
 
         w = jnp.minimum(lam / s, w_cap)  # (m,)
         M = H + (G.T * w) @ G + ridge * eyen
-        Lc = jnp.linalg.cholesky(M)
+        if use_pallas:
+            from mpc_tuning_tpu.ops.pallas_kernels import spd_solve
 
-        def solve(rhs):
-            y1 = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
-            return jax.scipy.linalg.solve_triangular(Lc.T, y1, lower=False)
+            def solve(rhs):
+                return spd_solve(M, rhs)
+        else:
+            Lc = jnp.linalg.cholesky(M)
+
+            def solve(rhs):
+                y1 = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
+                return jax.scipy.linalg.solve_triangular(Lc.T, y1, lower=False)
 
         # affine (predictor) step: r_cent = lam*s, so r_cent/s = lam
         # reduced rhs: -r_d + G'((r_cent - lam*r_p)/s)
@@ -115,6 +125,66 @@ def solve_qp(H, f, G, h, iters: int = 30):
     (_, _, _, best), _ = jax.lax.scan(body, (z, lam, s, best0), None, length=iters)
     z, lam, s, _ = best
     return z, lam, s
+
+
+def admm_precompute(H, G, sigma: float = 1e-6):
+    """Per-candidate constants for the ADMM solver.
+
+    The MPC QP is badly scaled out of the box (the ECR slack penalty puts
+    ~1e5 on one Hessian entry while masked-move ridges sit at 1), so we
+    equilibrate first (Ruiz-lite):
+      * variable scaling  Dinv = 1/sqrt(diag(H))  ->  Hs = Dinv H Dinv
+      * constraint row scaling e = 1/||row||      ->  Gs = e G Dinv
+    and then invert  M = Hs + sigma I + rho Gs'Gs  ONCE per candidate.
+    Every timestep / ADMM iteration of a closed-loop simulation reuses Minv,
+    so iterations contain only (batched) matmuls and clips — the
+    TPU-friendly shape (cf. OSQP / the ReLU-QP formulation, PAPERS.md).
+
+    Returns a dict {Minv, rho, Dinv, e, Hs, Gs}.
+    """
+    n = H.shape[0]
+    dh = jnp.sqrt(jnp.clip(jnp.diag(H), 1e-8, None))
+    Dinv = 1.0 / dh
+    Hs = H * Dinv[:, None] * Dinv[None, :]
+    Gs0 = G * Dinv[None, :]
+    rn = jnp.linalg.norm(Gs0, axis=1)
+    e = 1.0 / jnp.clip(rn, 1e-8, None)
+    e = jnp.where(rn < 1e-12, 1.0, e)  # disabled rows keep scale 1
+    Gs = Gs0 * e[:, None]
+    GtG = Gs.T @ Gs
+    rho = jnp.linalg.norm(Hs) / (jnp.linalg.norm(GtG) + 1e-12)
+    rho = jnp.clip(rho, 1e-2, 1e2)
+    M = Hs + sigma * jnp.eye(n, dtype=H.dtype) + rho * GtG
+    Minv = jnp.linalg.inv(M)
+    return {"Minv": Minv, "rho": rho, "Dinv": Dinv, "e": e, "Hs": Hs, "Gs": Gs}
+
+
+def solve_qp_admm(pre, f, h, state, iters: int, sigma: float = 1e-6,
+                  over_relax: float = 1.6):
+    """Fixed-iteration equilibrated ADMM for min 1/2 z'Hz + f'z, Gz <= h.
+
+    ``pre`` is the admm_precompute dict; ``state = (x, zc, y)`` is the warm
+    start in SCALED coordinates (carry it across closed-loop timesteps:
+    successive MPC QPs differ only in f and h, so a handful of iterations
+    re-converges).  Returns (z_unscaled, new_state).
+    """
+    Minv, rho, Dinv, e, Gs = pre["Minv"], pre["rho"], pre["Dinv"], pre["e"], pre["Gs"]
+    fs = f * Dinv
+    hs = h * e
+    x0, zc0, y0 = state
+
+    def body(carry, _):
+        x, zc, y = carry
+        rhs = sigma * x - fs + Gs.T @ (rho * zc - y)
+        x = Minv @ rhs
+        Gx = Gs @ x
+        Gx_r = over_relax * Gx + (1.0 - over_relax) * zc
+        z_new = jnp.minimum(Gx_r + y / rho, hs)
+        y = y + rho * (Gx_r - z_new)
+        return (x, z_new, y), None
+
+    (x, zc, y), _ = jax.lax.scan(body, (x0, zc0, y0), None, length=iters)
+    return x * Dinv, (x, zc, y)
 
 
 def qp_kkt_residuals(H, f, G, h, z, lam, s):

@@ -31,9 +31,15 @@ from mpc_tuning_tpu.ops.mpc_qp import (
     controller_arrays,
     qp_step_data,
 )
-from mpc_tuning_tpu.ops.qp import solve_qp
+from mpc_tuning_tpu.ops.qp import solve_qp, solve_qp_admm
 
 __all__ = ["MPCLoop"]
+
+
+def _auto_pallas(use_pallas):
+    if use_pallas is None:
+        return jax.default_backend() != "cpu"
+    return bool(use_pallas)
 
 
 @dataclasses.dataclass
@@ -66,7 +72,7 @@ class MPCLoop:
 
     # ------------------------------------------------- batched tuning API
     def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
-                     qp_iters):
+                     qp_iters, qp_method="pdip", use_pallas=None):
         c = self.arrays(dtype)
         d = self.dims
         return closed_loop_batch(
@@ -74,11 +80,11 @@ class MPCLoop:
             jnp.asarray(N_b), jnp.asarray(Nu_b),
             jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
             d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
-            qp_iters,
+            qp_iters, qp_method, _auto_pallas(use_pallas),
         )
 
     def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
-                   qp_iters):
+                   qp_iters, use_pallas=None):
         c = self.arrays(dtype)
         d = self.dims
         return open_loop_batch(
@@ -87,12 +93,13 @@ class MPCLoop:
             jnp.asarray(N_b), jnp.asarray(Nu_b),
             jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
             d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
-            qp_iters,
+            qp_iters, _auto_pallas(use_pallas),
         )
 
     # -------------------------------------------------------------- API
     def simulate(self, r, v, nit, N, Nu, delta, lam, dtype=jnp.float64,
-                 qp_iters: int = 30):
+                 qp_iters: int = 30, qp_method: str = "pdip",
+                 use_pallas=None):
         """Closed loop.  r (nit, ny), v (nit, nd) conditioned units.
         Returns (y, u) conditioned, shapes (nit, ny), (nit, nu)."""
         c = self.arrays(dtype)
@@ -102,7 +109,7 @@ class MPCLoop:
             jnp.asarray(N), jnp.asarray(Nu),
             jnp.asarray(delta, dtype), jnp.asarray(lam, dtype),
             d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
-            qp_iters,
+            qp_iters, qp_method, _auto_pallas(use_pallas),
         )
         return np.asarray(y), np.asarray(u)
 
@@ -127,18 +134,29 @@ class MPCLoop:
 
 
 def closed_loop_core(c, r, v, N, Nu, delta, lam,
-                     p_max, m_max, ny, nu, with_y, rho, qp_iters):
+                     p_max, m_max, ny, nu, with_y, rho, qp_iters,
+                     qp_method="pdip", use_pallas=False):
     """Un-jitted closed-loop scan — vmap over (N, Nu, delta, lam) for the
-    candidate-batched tuning path."""
+    candidate-batched tuning path.
+
+    qp_method:
+      'pdip' — fixed-iteration interior point per step (high accuracy,
+               reference path);
+      'admm' — OSQP-style ADMM with a per-candidate precomputed inverse and
+               the (x, z, y) state WARM-STARTED across timesteps; matmul-only
+               iterations, the TPU-fast path (qp_iters = ADMM iterations).
+    """
     dtype = r.dtype
     cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
                               rho, with_y)
     nxa = c["A"].shape[0]
     nxp = c["A_pl"].shape[0]
+    nz = cand["H"].shape[0]
+    mc = cand["G"].shape[0]
     sf_y, sf_u, sf_v = c["sf_y"], c["sf_u"], c["sf_v"]
 
     def step(state, inp):
-        x_pl, x_hat_pred, u_prev = state
+        x_pl, x_hat_pred, u_prev, ws = state
         rk, vk = inp
         y = c["C_pl"] @ x_pl
         y_s = y / sf_y
@@ -150,7 +168,11 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
 
         f, h, _ = qp_step_data(c, cand, x_hat, u_prev, r_s, v_s,
                                p_max, m_max, ny, nu, with_y)
-        z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters)
+        if qp_method == "admm":
+            z, ws = solve_qp_admm(cand["admm"], f, h, ws, iters=qp_iters)
+        else:
+            z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters,
+                               use_pallas=use_pallas)
         du = z[:nu]
         u_s = u_prev + du
 
@@ -159,25 +181,27 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
         )
         u_out = u_s * sf_u
         x_pl = c["A_pl"] @ x_pl + c["B_pl"] @ jnp.concatenate([u_out, vk])
-        return (x_pl, x_hat_pred, u_s), (y, u_out)
+        return (x_pl, x_hat_pred, u_s, ws), (y, u_out)
 
-    init = (jnp.zeros(nxp, dtype), jnp.zeros(nxa, dtype), jnp.zeros(nu, dtype))
+    ws0 = (jnp.zeros(nz, dtype), jnp.zeros(mc, dtype), jnp.zeros(mc, dtype))
+    init = (jnp.zeros(nxp, dtype), jnp.zeros(nxa, dtype), jnp.zeros(nu, dtype), ws0)
     _, (Y, U) = jax.lax.scan(step, init, (r, v))
     return Y, U
 
 
-_closed_loop = partial(jax.jit, static_argnums=tuple(range(7, 14)))(closed_loop_core)
+_closed_loop = partial(jax.jit, static_argnums=tuple(range(7, 16)))(closed_loop_core)
 
 # candidate batch over (N, Nu, delta, lam); r per-candidate too (the VNS
 # square-system selector sims use per-candidate setpoints, VNS2.m:148-165)
-closed_loop_batch = partial(jax.jit, static_argnums=tuple(range(7, 14)))(
+closed_loop_batch = partial(jax.jit, static_argnums=tuple(range(7, 16)))(
     jax.vmap(closed_loop_core,
-             in_axes=(None, 0, None, 0, 0, 0, 0) + (None,) * 7)
+             in_axes=(None, 0, None, 0, 0, 0, 0) + (None,) * 9)
 )
 
 
 def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
-                   p_max, m_max, ny, nu, with_y, rho, qp_iters):
+                   p_max, m_max, ny, nu, with_y, rho, qp_iters,
+                   use_pallas=False):
     dtype = r_final.dtype
     cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
                               rho, with_y)
@@ -193,7 +217,8 @@ def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
 
     f, h, _ = qp_step_data(c, cand, x_hat, u_prev, r_s, v_s,
                            p_max, m_max, ny, nu, with_y)
-    z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters)
+    z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters,
+                       use_pallas=use_pallas)
     du_seq = (z[:-1] * cand["cmask_flat"]).reshape(m_max, nu)
     u_seq = jnp.cumsum(du_seq, axis=0) * c["sf_u"][None, :]  # (m_max, nu)
 
@@ -214,9 +239,9 @@ def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
     return ys, uopt
 
 
-_open_loop = partial(jax.jit, static_argnums=tuple(range(8, 15)))(open_loop_core)
+_open_loop = partial(jax.jit, static_argnums=tuple(range(8, 16)))(open_loop_core)
 
-open_loop_batch = partial(jax.jit, static_argnums=tuple(range(8, 15)))(
+open_loop_batch = partial(jax.jit, static_argnums=tuple(range(8, 16)))(
     jax.vmap(open_loop_core,
-             in_axes=(None, 0, None, None, 0, 0, 0, 0) + (None,) * 7)
+             in_axes=(None, 0, None, None, 0, 0, 0, 0) + (None,) * 8)
 )

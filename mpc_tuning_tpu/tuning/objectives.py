@@ -48,6 +48,7 @@ class TuningProblem:
     dtype: object = jnp.float64
     qp_iters: int = 30
     linear: bool = True  # False => NMPC loop, nonlinear VNS protocol
+    mesh: object = None  # jax.sharding.Mesh -> candidate axis sharded over it
 
     @property
     def my(self) -> int:
@@ -65,17 +66,44 @@ class TuningProblem:
     def square(self) -> bool:
         return self.my == self.nu
 
+    def _maybe_shard(self, *batched):
+        """Pad the candidate axis to the mesh size and shard axis 0."""
+        if self.mesh is None:
+            return batched, None
+        from mpc_tuning_tpu.parallel.sweep import pad_to_multiple, shard_candidates
+
+        nd = self.mesh.devices.size
+        padded = []
+        B = None
+        for a in batched:
+            a = np.asarray(a)
+            p, B = pad_to_multiple(a, nd)
+            padded.append(p)
+        return shard_candidates(self.mesh, *padded), B
+
     def closed_batch(self, r_b, N_b, Nu_b, delta_b, lam_b):
-        return self.loop.closed_batch(
+        (r_b, N_b, Nu_b, delta_b, lam_b), B = self._maybe_shard(
+            np.asarray(r_b, dtype=np.float64), N_b, Nu_b, delta_b, lam_b
+        )
+        Y, U = self.loop.closed_batch(
             jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
             self.nit, self.dtype, self.qp_iters,
         )
+        if B is not None:
+            Y, U = np.asarray(Y)[:B], np.asarray(U)[:B]
+        return Y, U
 
     def open_batch(self, rfin_b, N_b, Nu_b, delta_b, lam_b):
-        return self.loop.open_batch(
+        (rfin_b, N_b, Nu_b, delta_b, lam_b), B = self._maybe_shard(
+            np.asarray(rfin_b, dtype=np.float64), N_b, Nu_b, delta_b, lam_b
+        )
+        Y, U = self.loop.open_batch(
             jnp.asarray(rfin_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
             self.nit, self.dtype, self.qp_iters,
         )
+        if B is not None:
+            Y, U = np.asarray(Y)[:B], np.asarray(U)[:B]
+        return Y, U
 
 
 def _apply_band(delta: np.ndarray, band_mask: np.ndarray) -> np.ndarray:
