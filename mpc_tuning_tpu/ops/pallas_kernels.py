@@ -41,36 +41,65 @@ def _cholsolve_kernel(n: int, M_ref, rhs_ref, x_ref, L_ref, y_ref):
     """Factor M = L L^T and solve M x = rhs for one (n, n, Bt) block.
 
     M_ref: (n, n, Bt); rhs_ref: (n, Bt); x_ref out: (n, Bt).
-    L_ref, y_ref: VMEM scratch (n, n, Bt), (n, Bt).
-    Fully unrolled over n (static); every statement is a (Bt,)- or
-    (n, Bt)-wide vector op.
+    L_ref: VMEM scratch (n, n, Bt) — holds the working matrix, updated in
+    place so it ends as L (strictly lower + diagonal; upper junk is masked
+    out by the substitution passes).  y_ref: (n, Bt) scratch.
+
+    fori_loop + dynamic slices (NOT unrolled — Mosaic compile time of the
+    unrolled version was ~18 min); every step is a (Bt,)- or (n, Bt)-wide
+    lane-vector op.
     """
-    A = M_ref[...]  # (n, n, Bt) working copy in registers/VMEM
+    dtype = M_ref.dtype
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    for j in range(n):
-        d = jnp.sqrt(A[j, j, :])  # (Bt,)
-        inv_d = 1.0 / d
-        mask = (row_idx > j).astype(A.dtype)  # (n, 1)
-        col = A[:, j, :] * mask * inv_d[None, :]  # strictly-below-diag / d
-        L_ref[:, j, :] = col
-        L_ref[j, j, :] = d
-        # trailing submatrix rank-1 update (rows/cols <= j untouched: col=0)
-        A = A - col[:, None, :] * col[None, :, :]
+    L_ref[...] = M_ref[...]
 
-    # forward substitution L y = rhs; y_ref rows >= j are zero so the masked
-    # full-row dot only picks up already-computed entries (ref stores avoid
-    # scatter lowering)
+    def chol_step(j, _):
+        d = jnp.sqrt(L_ref[pl.ds(j, 1), pl.ds(j, 1), :])[0, 0, :]  # (Bt,)
+        col_raw = L_ref[:, pl.ds(j, 1), :][:, 0, :]  # (n, Bt)
+        below = (row_idx > j).astype(dtype)  # (n, 1)
+        col = col_raw * below / d[None, :]
+        # write the finished column: strictly-below entries / d, diagonal d
+        diag = (row_idx == j).astype(dtype)
+        L_ref[:, pl.ds(j, 1), :] = (col + diag * d[None, :])[:, None, :]
+        # trailing submatrix rank-1 update (col zero for rows <= j)
+        L_ref[...] = L_ref[...] - col[:, None, :] * col[None, :, :]
+        # restore the just-written column (the rank-1 update touched it
+        # only at rows > j where col*col[j]=col*0 — col[j]=0 — so it is
+        # actually untouched; nothing to do)
+        return 0
+
+    jax.lax.fori_loop(0, n, chol_step, 0)
+
+    # forward substitution L y = rhs; rows >= j of y_ref are zero, and a
+    # (col < j) mask keeps only the strictly-lower part of row j
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
     y_ref[...] = jnp.zeros_like(rhs_ref[...])
-    for j in range(n):
-        acc = jnp.sum(L_ref[j, :, :] * y_ref[...], axis=0)  # (Bt,)
-        y_ref[j, :] = (rhs_ref[j, :] - acc) / L_ref[j, j, :]
 
-    # back substitution L^T x = y
+    def fwd_step(j, _):
+        Lrow = L_ref[pl.ds(j, 1), :, :][0]  # (n, Bt)
+        mask = (iota_col < j).astype(dtype)  # (n, 1)
+        acc = jnp.sum(Lrow * mask * y_ref[...], axis=0)
+        d = L_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
+        y_ref[pl.ds(j, 1), :] = ((rhs_ref[pl.ds(j, 1), :][0] - acc) / d)[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd_step, 0)
+
+    # back substitution L^T x = y: row j of L^T = column j of L (rows > j)
     x_ref[...] = jnp.zeros_like(rhs_ref[...])
-    for j in range(n - 1, -1, -1):
-        acc = jnp.sum(L_ref[:, j, :] * x_ref[...], axis=0)
-        x_ref[j, :] = (y_ref[j, :] - acc) / L_ref[j, j, :]
+
+    def bwd_step(jj, _):
+        j = n - 1 - jj
+        Lcol = L_ref[:, pl.ds(j, 1), :][:, 0, :]  # (n, Bt)
+        mask = (iota_col > j).astype(dtype)
+        acc = jnp.sum(Lcol * mask * x_ref[...], axis=0)
+        d = L_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
+        x_ref[pl.ds(j, 1), :] = ((y_ref[pl.ds(j, 1), :][0] - acc) / d)[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd_step, 0)
 
 
 def _spd_solve_batched_impl(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
