@@ -29,8 +29,12 @@ def main():
 
     dev = jax.devices()[0]
     nit = 400
-    B = int(__import__("os").environ.get("BENCH_BATCH", "256"))
-    qp_iters = 30
+    B = int(__import__("os").environ.get("BENCH_BATCH", "512"))
+    # warm-started PDIP at 15 iterations matches a cold 40-iteration solve
+    # to ~1e-9 on the benchmark loop (validated vs the f64 oracle)
+    qp_iters = 15
+    qp_method = "pdip_ws"
+    use_pallas = jax.default_backend() != "cpu"
 
     case = woodberry.make_case(nit=nit)  # nbp=7, nbc=4 -> p_max=127, m_max=15
     problem, _ = build_problem(case, dtype=jnp.float32, qp_iters=qp_iters)
@@ -50,15 +54,18 @@ def main():
                qp_iters)
 
     def run():
-        Y, U = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b, lam_b, *statics)
-        return Y
+        with jax.default_matmul_precision("highest"):
+            Y, U = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
+                                     *statics, qp_method, use_pallas)
+        # force full execution + device->host sync (block_until_ready alone
+        # does not synchronize on the axon tunnel backend)
+        return float(jnp.sum(Y))
 
-    # compile + warmup
-    run().block_until_ready()
+    run()  # compile + warmup
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        run().block_until_ready()
+        run()
     dt = (time.perf_counter() - t0) / reps
 
     sims_per_s = B / dt
@@ -70,7 +77,9 @@ def main():
         "detail": {
             "device": str(dev), "batch": B, "nit": nit,
             "p_max": d["p_max"], "m_max": d["m_max"],
-            "qp_iters": qp_iters, "dtype": "float32",
+            "qp_iters": qp_iters, "qp_method": qp_method, "dtype": "float32",
+            "qp_kernel": "pallas" if use_pallas else "xla",
+            "matmul_precision": "highest",
             "seconds_per_batch": round(dt, 4),
         },
     }))

@@ -142,6 +142,151 @@ def _spd_solve_batched_impl(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return out.transpose(1, 0)[:B, :n]
 
 
+# ------------------------------------------------- split factor / solve
+
+
+def _factor_kernel(n: int, M_ref, L_ref, scratch_ref):
+    """Cholesky factor only: L_ref (n, n, Bt) output."""
+    dtype = M_ref.dtype
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    L_ref[...] = M_ref[...]
+
+    def chol_step(j, _):
+        d = jnp.sqrt(L_ref[pl.ds(j, 1), pl.ds(j, 1), :])[0, 0, :]
+        col_raw = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+        below = (row_idx > j).astype(dtype)
+        col = col_raw * below / d[None, :]
+        diag = (row_idx == j).astype(dtype)
+        L_ref[:, pl.ds(j, 1), :] = (col + diag * d[None, :])[:, None, :]
+        L_ref[...] = L_ref[...] - col[:, None, :] * col[None, :, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, chol_step, 0)
+
+
+def _solve_kernel(n: int, L_ref, rhs_ref, x_ref, y_ref):
+    """Two triangular solves with a precomputed factor."""
+    dtype = L_ref.dtype
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    y_ref[...] = jnp.zeros_like(rhs_ref[...])
+
+    def fwd_step(j, _):
+        Lrow = L_ref[pl.ds(j, 1), :, :][0]
+        mask = (iota_col < j).astype(dtype)
+        acc = jnp.sum(Lrow * mask * y_ref[...], axis=0)
+        d = L_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
+        y_ref[pl.ds(j, 1), :] = ((rhs_ref[pl.ds(j, 1), :][0] - acc) / d)[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd_step, 0)
+
+    x_ref[...] = jnp.zeros_like(rhs_ref[...])
+
+    def bwd_step(jj, _):
+        j = n - 1 - jj
+        Lcol = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+        mask = (iota_col > j).astype(dtype)
+        acc = jnp.sum(Lcol * mask * x_ref[...], axis=0)
+        d = L_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
+        x_ref[pl.ds(j, 1), :] = ((y_ref[pl.ds(j, 1), :][0] - acc) / d)[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd_step, 0)
+
+
+def _pad_dims(n: int, B: int):
+    return max(8, -(-n // 8) * 8), -(-B // 128) * 128
+
+
+def _factor_batched_impl(M: jnp.ndarray) -> jnp.ndarray:
+    """(B, n, n) -> lower factor (B, n, n) via the lane-major kernel."""
+    B, n, _ = M.shape
+    dtype = M.dtype
+    n_pad, B_pad = _pad_dims(n, B)
+    Bt = 128
+    Mp = jnp.zeros((B_pad, n_pad, n_pad), dtype)
+    Mp = Mp.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+    Mp = Mp.at[:B, :n, :n].set(M)
+    Mt = Mp.transpose(1, 2, 0)
+    grid = (B_pad // Bt,)
+    L = pl.pallas_call(
+        functools.partial(_factor_kernel, n_pad),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n_pad, n_pad, Bt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad, n_pad, Bt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, B_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((n_pad, n_pad, Bt), dtype)],
+        interpret=_interpret(),
+    )(Mt)
+    return L.transpose(2, 0, 1)[:B, :n, :n]
+
+
+def _solve_batched_impl(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """L (B, n, n) lower factor, rhs (B, n) -> x (B, n)."""
+    B, n, _ = L.shape
+    dtype = rhs.dtype
+    n_pad, B_pad = _pad_dims(n, B)
+    Bt = 128
+    Lp = jnp.zeros((B_pad, n_pad, n_pad), dtype)
+    Lp = Lp.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+    Lp = Lp.at[:B, :n, :n].set(L)
+    Lt = Lp.transpose(1, 2, 0)
+    rp = jnp.zeros((B_pad, n_pad), dtype).at[:B, :n].set(rhs)
+    rt = rp.transpose(1, 0)
+    grid = (B_pad // Bt,)
+    out = pl.pallas_call(
+        functools.partial(_solve_kernel, n_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_pad, n_pad, Bt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, Bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad, Bt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, B_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((n_pad, Bt), dtype)],
+        interpret=_interpret(),
+    )(Lt, rt)
+    return out.transpose(1, 0)[:B, :n]
+
+
+@custom_vmap
+def spd_factor(M: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky lower factor (kernel-batched under vmap)."""
+    return jnp.linalg.cholesky(M)
+
+
+@spd_factor.def_vmap
+def _spd_factor_vmap(axis_size, in_batched, M):
+    if M.ndim > 3:
+        raise NotImplementedError("nested vmap over spd_factor")
+    return _factor_batched_impl(M), True
+
+
+@custom_vmap
+def spd_factor_solve(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve M x = rhs given the lower factor L (kernel-batched under vmap)."""
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+@spd_factor_solve.def_vmap
+def _spd_factor_solve_vmap(axis_size, in_batched, L, rhs):
+    L_b, r_b = in_batched
+    if not L_b:
+        L = jnp.broadcast_to(L, (axis_size,) + L.shape)
+    if not r_b:
+        rhs = jnp.broadcast_to(rhs, (axis_size,) + rhs.shape)
+    if L.ndim > 3:
+        raise NotImplementedError("nested vmap over spd_factor_solve")
+    return _solve_batched_impl(L, rhs), True
+
+
 @custom_vmap
 def spd_solve(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve the SPD system M x = rhs (single instance: jnp fallback)."""

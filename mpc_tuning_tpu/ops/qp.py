@@ -32,7 +32,8 @@ __all__ = ["solve_qp", "qp_kkt_residuals"]
 
 
 @partial(jax.jit, static_argnames=("iters", "use_pallas"))
-def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False):
+def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False,
+             init=None):
     """Solve one QP.  H (n,n), f (n,), G (m,n), h (m,).  Returns (z, lam, s).
 
     vmap over leading batch axes for the candidate-parallel version.
@@ -45,9 +46,19 @@ def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False):
     m = G.shape[0]
     dtype = H.dtype
 
-    z = jnp.zeros(n, dtype)
-    s = jnp.maximum(h - G @ z, jnp.asarray(1.0, dtype))
-    lam = jnp.ones(m, dtype)
+    if init is None:
+        z = jnp.zeros(n, dtype)
+        s = jnp.maximum(h - G @ z, jnp.asarray(1.0, dtype))
+        lam = jnp.ones(m, dtype)
+    else:
+        # warm start (successive MPC QPs differ only in f and h): reuse the
+        # previous solution, re-centred away from the boundary so the first
+        # Newton steps are well-conditioned
+        z0, lam0, s0 = init
+        z = z0
+        eps_c = jnp.asarray(1e-4, dtype)
+        s = jnp.maximum(h - G @ z, eps_c)
+        lam = jnp.clip(lam0, eps_c, None)
 
     ridge = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-6, dtype)
     eyen = jnp.eye(n, dtype=dtype)
@@ -72,10 +83,12 @@ def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False):
         w = jnp.minimum(lam / s, w_cap)  # (m,)
         M = H + (G.T * w) @ G + ridge * eyen
         if use_pallas:
-            from mpc_tuning_tpu.ops.pallas_kernels import spd_solve
+            from mpc_tuning_tpu.ops.pallas_kernels import spd_factor, spd_factor_solve
+
+            Lp = spd_factor(M)
 
             def solve(rhs):
-                return spd_solve(M, rhs)
+                return spd_factor_solve(Lp, rhs)
         else:
             Lc = jnp.linalg.cholesky(M)
 

@@ -75,7 +75,8 @@ class MPCLoop:
                      qp_iters, qp_method="pdip", use_pallas=None):
         c = self.arrays(dtype)
         d = self.dims
-        return closed_loop_batch(
+        with jax.default_matmul_precision("highest"):
+            return closed_loop_batch(
             c, jnp.asarray(r_b[:, :nit], dtype), jnp.asarray(v[:nit], dtype),
             jnp.asarray(N_b), jnp.asarray(Nu_b),
             jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
@@ -87,7 +88,8 @@ class MPCLoop:
                    qp_iters, use_pallas=None):
         c = self.arrays(dtype)
         d = self.dims
-        return open_loop_batch(
+        with jax.default_matmul_precision("highest"):
+            return open_loop_batch(
             c, jnp.asarray(rfin_b, dtype), jnp.asarray(v[nit - 1], dtype),
             jnp.asarray(v[:nit], dtype),
             jnp.asarray(N_b), jnp.asarray(Nu_b),
@@ -104,7 +106,8 @@ class MPCLoop:
         Returns (y, u) conditioned, shapes (nit, ny), (nit, nu)."""
         c = self.arrays(dtype)
         d = self.dims
-        y, u = _closed_loop(
+        with jax.default_matmul_precision("highest"):
+            y, u = _closed_loop(
             c, jnp.asarray(r[:nit], dtype), jnp.asarray(v[:nit], dtype),
             jnp.asarray(N), jnp.asarray(Nu),
             jnp.asarray(delta, dtype), jnp.asarray(lam, dtype),
@@ -119,7 +122,8 @@ class MPCLoop:
         Returns (ys, uopt) conditioned, shapes (nit, ny), (nit, nu)."""
         c = self.arrays(dtype)
         d = self.dims
-        ys, uopt = _open_loop(
+        with jax.default_matmul_precision("highest"):
+            ys, uopt = _open_loop(
             c, jnp.asarray(r_final, dtype), jnp.asarray(v_final, dtype),
             jnp.asarray(v_traj[:nit], dtype),
             jnp.asarray(N), jnp.asarray(Nu),
@@ -170,6 +174,11 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                                p_max, m_max, ny, nu, with_y)
         if qp_method == "admm":
             z, ws = solve_qp_admm(cand["admm"], f, h, ws, iters=qp_iters)
+        elif qp_method == "pdip_ws":
+            z, lam_w, s_w = solve_qp(cand["H"], f, cand["G"], h,
+                                     iters=qp_iters, use_pallas=use_pallas,
+                                     init=ws)
+            ws = (z, lam_w, s_w)
         else:
             z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters,
                                use_pallas=use_pallas)
@@ -183,7 +192,10 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
         x_pl = c["A_pl"] @ x_pl + c["B_pl"] @ jnp.concatenate([u_out, vk])
         return (x_pl, x_hat_pred, u_s, ws), (y, u_out)
 
-    ws0 = (jnp.zeros(nz, dtype), jnp.zeros(mc, dtype), jnp.zeros(mc, dtype))
+    if qp_method == "pdip_ws":
+        ws0 = (jnp.zeros(nz, dtype), jnp.ones(mc, dtype), jnp.ones(mc, dtype))
+    else:
+        ws0 = (jnp.zeros(nz, dtype), jnp.zeros(mc, dtype), jnp.zeros(mc, dtype))
     init = (jnp.zeros(nxp, dtype), jnp.zeros(nxa, dtype), jnp.zeros(nu, dtype), ws0)
     _, (Y, U) = jax.lax.scan(step, init, (r, v))
     return Y, U

@@ -82,7 +82,8 @@ class NMPCLoop:
     def simulate(self, r, v, nit, N, Nu, delta, lam, dtype=jnp.float64,
                  qp_iters=None):
         c = self._consts(dtype)
-        y, u = _nmpc_closed(
+        with jax.default_matmul_precision("highest"):
+            y, u = _nmpc_closed(
             self.spec.rhs, c, jnp.asarray(r[:nit], dtype),
             jnp.asarray(N), jnp.asarray(Nu),
             jnp.asarray(delta, dtype), jnp.asarray(lam, dtype),
@@ -92,7 +93,8 @@ class NMPCLoop:
 
     def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype, qp_iters):
         c = self._consts(dtype)
-        return _nmpc_closed_batch(
+        with jax.default_matmul_precision("highest"):
+            return _nmpc_closed_batch(
             self.spec.rhs, c, jnp.asarray(r_b[:, :nit], dtype),
             jnp.asarray(N_b), jnp.asarray(Nu_b),
             jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
@@ -101,7 +103,8 @@ class NMPCLoop:
 
     def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype, qp_iters):
         c = self._consts(dtype)
-        return _nmpc_open_batch(
+        with jax.default_matmul_precision("highest"):
+            return _nmpc_open_batch(
             self.spec.rhs, c, jnp.asarray(rfin_b, dtype),
             jnp.asarray(N_b), jnp.asarray(Nu_b),
             jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
