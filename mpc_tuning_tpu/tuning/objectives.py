@@ -47,6 +47,7 @@ class TuningProblem:
     goal: float = 0.001
     dtype: object = jnp.float64
     qp_iters: int = 30
+    qp_method: str = "pdip_ws"  # warm-started PDIP: 15 iters ~ cold 40
     linear: bool = True  # False => NMPC loop, nonlinear VNS protocol
     mesh: object = None  # jax.sharding.Mesh -> candidate axis sharded over it
 
@@ -85,9 +86,12 @@ class TuningProblem:
         (r_b, N_b, Nu_b, delta_b, lam_b), B = self._maybe_shard(
             np.asarray(r_b, dtype=np.float64), N_b, Nu_b, delta_b, lam_b
         )
+        kw = {}
+        if hasattr(self.loop, "ctl"):  # linear engine supports qp_method
+            kw["qp_method"] = self.qp_method
         Y, U = self.loop.closed_batch(
             jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
-            self.nit, self.dtype, self.qp_iters,
+            self.nit, self.dtype, self.qp_iters, **kw,
         )
         if B is not None:
             Y, U = np.asarray(Y)[:B], np.asarray(U)[:B]
