@@ -80,6 +80,11 @@ def gam_solve(
         X = np.maximum(X, lb)
         F_rows = gam_sse_batch(problem, N, Nu, X)
         evals += popsize
+        # failure containment: a diverged closed loop (unstable candidate)
+        # yields inf/NaN SSE; treat as a huge-but-finite cost so the search
+        # continues (the reference wraps every sim in try/catch and leaves
+        # the objective unchanged, GAM_fun.m:80-91)
+        F_rows = np.where(np.isfinite(F_rows), F_rows, 1e30)
         g = gamma_of(F_rows)
 
         order = np.argsort(g)

@@ -114,7 +114,9 @@ def vns_search(
             continue
 
         F = vns_objective_batch(problem, Ns, Nus, delta, lam)
-        F = np.where(valid, F, np.inf)
+        # invalid horizons AND diverged sims (NaN/inf) are both rejected
+        # (reference: PreCon gate + try/catch, VNS2.m:135,151-163)
+        F = np.where(valid & np.isfinite(F), F, np.inf)
         evals += int(valid.sum())
 
         improving = np.where(F < Fv)[0]
