@@ -1,0 +1,84 @@
+"""Command-line entry points.
+
+  mpc-tuning-run <case> [--nit N] [--nbp B] [--nbc B] [--budget small|full]
+      run the hybrid tuner on a benchmark case and print the result JSON
+      (cases: woodberry, shell3x3, shell7x5, vandevusse)
+  mpc-tuning-bench
+      run the headline benchmark (same as python bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def run_main(argv=None):
+    ap = argparse.ArgumentParser(description="hybrid MPC tuning")
+    ap.add_argument("case", choices=["woodberry", "shell3x3", "shell7x5",
+                                     "vandevusse"])
+    ap.add_argument("--nit", type=int, default=None)
+    ap.add_argument("--nbp", type=int, default=None)
+    ap.add_argument("--nbc", type=int, default=None)
+    ap.add_argument("--budget", choices=["small", "full"], default="small")
+    ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    dtype = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+    budget = (dict(gam_popsize=8, gam_generations=5, max_alternations=2)
+              if args.budget == "small"
+              else dict(gam_popsize=16, gam_generations=20, max_alternations=6))
+
+    kw = {}
+    if args.nit:
+        kw["nit"] = args.nit
+    if args.nbp:
+        kw["nbp"] = args.nbp
+    if args.nbc:
+        kw["nbc"] = args.nbc
+
+    if args.case == "vandevusse":
+        from mpc_tuning_tpu.cases import vandevusse
+
+        case, res, (y, u) = vandevusse.run(
+            checkpoint_dir=args.checkpoint_dir, dtype=dtype, **budget,
+            **({"nit": args.nit} if args.nit else {}),
+        )
+        out = dict(case=args.case, **{k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                                      for k, v in res.items() if k != "history"})
+    else:
+        from mpc_tuning_tpu.cases import shell3x3, shell7x5, woodberry
+        from mpc_tuning_tpu.tuning.api import mpc_tuning
+
+        mod = {"woodberry": woodberry, "shell3x3": shell3x3,
+               "shell7x5": shell7x5}[args.case]
+        case = mod.make_case(**kw)
+        tkw = dict(budget)
+        if args.case == "shell7x5":
+            tkw["qp_iters"] = 60
+        res = mpc_tuning(case, dtype=dtype,
+                         checkpoint_dir=args.checkpoint_dir, **tkw)
+        out = dict(case=args.case, N=res.N, Nu=res.Nu.tolist(),
+                   delta=res.delta.tolist(), lam=res.lam.tolist(),
+                   Fvns=res.Fvns, Fgam=res.Fgam, checkpoint=res.checkpoint)
+    print(json.dumps(out, indent=1))
+
+
+def bench_main(argv=None):
+    import pathlib
+    import runpy
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root))
+    runpy.run_path(str(root / "bench.py"), run_name="__main__")
