@@ -49,7 +49,8 @@ class VdVCase:
 
 
 def make_case(nit: int = NIT, nbp: int = NBP, nbc: int = NBC,
-              substeps: int = 10, sqp_iters: int = 4, qp_iters: int = 25) -> VdVCase:
+              substeps: int = 10, sqp_iters: int = 4, qp_iters: int = 25,
+              integrator: str = "rk4") -> VdVCase:
     # steady state via Newton (fsolve equivalent, VanDeVusse_NMPC.m:72-79)
     x0 = np.asarray(newton_steady_state(vandevusse_rhs, VDV_X0, VDV_U0))
     u0 = np.asarray(VDV_U0)
@@ -75,6 +76,7 @@ def make_case(nit: int = NIT, nbp: int = NBP, nbc: int = NBC,
         sf_y=XMAX[1:] - XMIN[1:],
         x0=x0, u0=u0,
         substeps=substeps, sqp_iters=sqp_iters, qp_iters=qp_iters,
+        integrator=integrator,  # init.integrator slot (VanDeVusse_NMPC.m:85)
     )
     return VdVCase(spec=spec, r=r, Yref=Yref, nit=nit, w=W_PARETO,
                    nbp=nbp, nbc=nbc, x0=x0, u0=u0)

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mpc_tuning_tpu.models.ode import integrate_rk4
+from mpc_tuning_tpu.models.ode import integrate
 from mpc_tuning_tpu.ops.qp import solve_qp
 
 __all__ = ["ExplicitNMPC"]
@@ -50,6 +50,10 @@ class ExplicitNMPC:
     sqp_iters: int = 5
     qp_iters: int = 25
     noise: float = 0.01  # ClosedLoopNMPC.m:77
+    # 'rk4' or 'tr_bdf2' (the reference predicts with stiff ode23t,
+    # NMPC_Controller.m:99, and integrates the plant with ode45,
+    # ClosedLoopNMPC.m:84)
+    integrator: str = "rk4"
 
     def simulate(self, x0, u0, r, nit, inK: int = 10, seed: int = 0,
                  dtype=jnp.float64):
@@ -63,6 +67,7 @@ class ExplicitNMPC:
             self.N, tuple(int(v) for v in self.Nu), self.ny, self.nu,
             self.substeps, self.sqp_iters, self.qp_iters,
             float(self.Ts), tuple(self.xc), inK, float(self.noise),
+            self.integrator,
         )
         return np.asarray(y), np.asarray(u)
 
@@ -75,7 +80,8 @@ def _col_mask_per_input(Nu: tuple, m_max: int, nu: int, dtype):
 
 
 def _explicit_control(rhs, x_meas, u_prev, rk, Q, W, ub, lb,
-                      N, Nu, ny, nu, substeps, sqp_iters, qp_iters, Ts, xc):
+                      N, Nu, ny, nu, substeps, sqp_iters, qp_iters, Ts, xc,
+                      method):
     """One NMPC_Controller.m solve: returns first du per input."""
     dtype = x_meas.dtype
     m_max = max(Nu)
@@ -85,7 +91,7 @@ def _explicit_control(rhs, x_meas, u_prev, rk, Q, W, ub, lb,
 
     # offset correction n: measured controlled states minus one-step model
     # propagation under u(k-1) (NMPC_Controller.m:108-127)
-    x_one = integrate_rk4(rhs, x_meas, u_prev, Ts, substeps)
+    x_one = integrate(rhs, x_meas, u_prev, Ts, substeps, method)
     offset = x_meas[xc_arr] - x_one[xc_arr]  # (ny,)
 
     def y_of(du_flat):
@@ -94,7 +100,7 @@ def _explicit_control(rhs, x_meas, u_prev, rk, Q, W, ub, lb,
 
         def body(xk, i):
             u = u_seq[jnp.minimum(i, m_max - 1)]
-            xn = integrate_rk4(rhs, xk, u, Ts, substeps)
+            xn = integrate(rhs, xk, u, Ts, substeps, method)
             return xn, xn[xc_arr]
 
         _, Y = jax.lax.scan(body, x_meas, jnp.arange(N))
@@ -129,10 +135,10 @@ def _explicit_control(rhs, x_meas, u_prev, rk, Q, W, ub, lb,
     return du[0]  # first move per input (ClosedLoopNMPC.m:96-105)
 
 
-@partial(jax.jit, static_argnums=(0,) + tuple(range(9, 19)))
+@partial(jax.jit, static_argnums=(0,) + tuple(range(9, 19)) + (20,))
 def _explicit_closed(rhs, x0, u0, r, Q, W, ub, lb, key,
                      N, Nu, ny, nu, substeps, sqp_iters, qp_iters, Ts, xc,
-                     inK, noise):
+                     inK, noise, method="rk4"):
     dtype = x0.dtype
     nit = r.shape[0]
     xc_arr = jnp.array(xc)
@@ -141,13 +147,13 @@ def _explicit_closed(rhs, x0, u0, r, Q, W, ub, lb, key,
         x_plant, u_prev, key = state
         rk, k = inp
         # plant one Ts + state measurement noise (ClosedLoopNMPC.m:84-87)
-        x_next = integrate_rk4(rhs, x_plant, u_prev, Ts, substeps)
+        x_next = integrate(rhs, x_plant, u_prev, Ts, substeps, method)
         key, sub = jax.random.split(key)
         x_meas = x_next + noise * jax.random.normal(sub, x_next.shape, dtype)
 
         du0 = _explicit_control(rhs, x_meas, u_prev, rk, Q, W, ub, lb,
                                 N, Nu, ny, nu, substeps, sqp_iters, qp_iters,
-                                Ts, xc)
+                                Ts, xc, method)
         active = (k >= inK - 1).astype(dtype)  # loop starts at inK
         u = u_prev + active * du0
         return (x_meas, u, key), (x_meas[xc_arr], u)

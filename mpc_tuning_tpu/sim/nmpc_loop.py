@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mpc_tuning_tpu.models.ode import integrate_rk4
+from mpc_tuning_tpu.models.ode import integrate
 from mpc_tuning_tpu.ops.qp import solve_qp
 
 __all__ = ["NMPCSpec", "NMPCLoop"]
@@ -54,6 +54,9 @@ class NMPCSpec:
     substeps: int = 10
     sqp_iters: int = 4
     qp_iters: int = 25
+    # plant/prediction integrator: 'rk4' or 'tr_bdf2' (the init.integrator
+    # slot of the reference, VanDeVusse_NMPC.m:85 uses @ode15s)
+    integrator: str = "rk4"
 
 
 @dataclasses.dataclass
@@ -76,7 +79,8 @@ class NMPCLoop:
     def _statics(self):
         s = self.spec
         return (s.p_max, s.m_max, s.ny, s.nu, float(s.rho_eps), s.substeps,
-                s.sqp_iters, s.qp_iters, float(s.Ts), tuple(s.xc))
+                s.sqp_iters, s.qp_iters, float(s.Ts), tuple(s.xc),
+                s.integrator)
 
     # ------------------------------------------------------------- API
     def simulate(self, r, v, nit, N, Nu, delta, lam, dtype=jnp.float64,
@@ -120,12 +124,12 @@ def _u_sequence(du_flat, u_prev, col_mask, m_max, nu):
     return u_prev[None, :] + jnp.cumsum(du, axis=0)  # (m_max, nu)
 
 
-def _rollout_y(rhs, x, u_seq, p_max, m_max, substeps, Ts, xc):
+def _rollout_y(rhs, x, u_seq, p_max, m_max, substeps, Ts, xc, method):
     """p_max-step prediction; input held at u_seq[-1] beyond the horizon."""
 
     def body(xk, i):
         u = u_seq[jnp.minimum(i, m_max - 1)]
-        xn = integrate_rk4(rhs, xk, u, Ts, substeps)
+        xn = integrate(rhs, xk, u, Ts, substeps, method)
         return xn, xn[jnp.array(xc)]
 
     _, Y = jax.lax.scan(body, x, jnp.arange(p_max))
@@ -134,7 +138,7 @@ def _rollout_y(rhs, x, u_seq, p_max, m_max, substeps, Ts, xc):
 
 def _nmpc_control(rhs, c, x, u_prev, rk, N, Nu, delta, lam,
                   p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters,
-                  Ts, xc):
+                  Ts, xc, method):
     """One nlmpcmove-equivalent solve.  Returns the full du sequence."""
     dtype = x.dtype
     i_idx = jnp.arange(1, p_max + 1)
@@ -149,7 +153,8 @@ def _nmpc_control(rhs, c, x, u_prev, rk, N, Nu, delta, lam,
 
     def y_of(du_flat):
         u_seq = _u_sequence(du_flat, u_prev, col_mask, m_max, nu)
-        return _rollout_y(rhs, x, u_seq, p_max, m_max, substeps, Ts, xc).reshape(-1)
+        return _rollout_y(rhs, x, u_seq, p_max, m_max, substeps, Ts, xc,
+                          method).reshape(-1)
 
     Tcum = jnp.kron(jnp.tril(jnp.ones((m_max, m_max), dtype)), jnp.eye(nu, dtype=dtype))
 
@@ -191,7 +196,7 @@ def _nmpc_control(rhs, c, x, u_prev, rk, N, Nu, delta, lam,
 
 def nmpc_closed_core(rhs, c, r, N, Nu, delta, lam,
                      p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters,
-                     Ts, xc):
+                     Ts, xc, method="rk4"):
     """closedloop_toolbox_nmpc.m:60-75: u(i) from state x(i-1), then
     integrate; Y(:,1) = x0(xc)."""
     dtype = r.dtype
@@ -201,10 +206,11 @@ def nmpc_closed_core(rhs, c, r, N, Nu, delta, lam,
         x, u_prev = state
         du_flat, col_mask = _nmpc_control(
             rhs, c, x, u_prev, rk, N, Nu, delta, lam,
-            p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters, Ts, xc)
+            p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters, Ts, xc,
+            method)
         du0 = (du_flat.reshape(m_max, nu) * col_mask[:, None])[0]
         u = u_prev + du0
-        x_next = integrate_rk4(rhs, x, u, Ts, substeps)
+        x_next = integrate(rhs, x, u, Ts, substeps, method)
         return (x_next, u), (x_next[jnp.array(xc)], u)
 
     init = (c["x0"], c["u0"])
@@ -216,13 +222,14 @@ def nmpc_closed_core(rhs, c, r, N, Nu, delta, lam,
 
 def nmpc_open_core(rhs, c, r_final, N, Nu, delta, lam, nit,
                    p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters,
-                   Ts, xc):
+                   Ts, xc, method="rk4"):
     """closedloop_toolbox_nmpc.m:77-94: one solve at (x0, u0) with the final
     setpoint; play MVopt (held) through the ODE."""
     dtype = r_final.dtype
     du_flat, col_mask = _nmpc_control(
         rhs, c, c["x0"], c["u0"], r_final, N, Nu, delta, lam,
-        p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters, Ts, xc)
+        p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters, Ts, xc,
+        method)
     u_seq = _u_sequence(du_flat, c["u0"], col_mask, m_max, nu)
     idx = jnp.clip(jnp.arange(nit - 1), 0, m_max - 1)
     # hold beyond the control horizon: clamp to the last *active* move
@@ -231,7 +238,7 @@ def nmpc_open_core(rhs, c, r_final, N, Nu, delta, lam, nit,
     uopt = u_seq[idx]  # (nit-1, nu)
 
     def body(x, u):
-        xn = integrate_rk4(rhs, x, u, Ts, substeps)
+        xn = integrate(rhs, x, u, Ts, substeps, method)
         return xn, xn[jnp.array(xc)]
 
     _, Y = jax.lax.scan(body, c["x0"], uopt)
@@ -241,11 +248,11 @@ def nmpc_open_core(rhs, c, r_final, N, Nu, delta, lam, nit,
     return yopt, uopt_full
 
 
-_nmpc_closed = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 17)))(nmpc_closed_core)
+_nmpc_closed = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 18)))(nmpc_closed_core)
 
-_nmpc_closed_batch = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 17)))(
+_nmpc_closed_batch = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 18)))(
     jax.vmap(nmpc_closed_core,
-             in_axes=(None, None, 0, 0, 0, 0, 0) + (None,) * 10)
+             in_axes=(None, None, 0, 0, 0, 0, 0) + (None,) * 11)
 )
 
 
@@ -253,7 +260,7 @@ def _open_with_nit(rhs, c, rfin, N, Nu, delta, lam, nit, *statics):
     return nmpc_open_core(rhs, c, rfin, N, Nu, delta, lam, nit, *statics)
 
 
-_nmpc_open_batch = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 18)))(
+_nmpc_open_batch = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 19)))(
     jax.vmap(_open_with_nit,
-             in_axes=(None, None, 0, 0, 0, 0, 0) + (None,) * 11)
+             in_axes=(None, None, 0, 0, 0, 0, 0) + (None,) * 12)
 )
