@@ -82,3 +82,7 @@ def bench_main(argv=None):
     root = pathlib.Path(__file__).resolve().parents[1]
     sys.path.insert(0, str(root))
     runpy.run_path(str(root / "bench.py"), run_name="__main__")
+
+
+if __name__ == "__main__":
+    run_main()

@@ -77,8 +77,12 @@ def main():
                 "note": "virtual host-platform mesh (mechanics, not absolute perf)"
                 if backend == "cpu" else "device mesh",
             })
-    print(json.dumps({"scaling_report": rows, "batch": B, "nit": nit},
-                     indent=1))
+    doc = {"scaling_report": rows, "batch": B, "nit": nit}
+    print(json.dumps(doc, indent=1))
+    out = os.environ.get("REPORT_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(doc, fh, indent=1)
 
 
 if __name__ == "__main__":
