@@ -30,6 +30,12 @@ import jax.numpy as jnp
 
 __all__ = ["solve_qp", "qp_kkt_residuals"]
 
+# warm-start re-centering: slacks/duals are floored at _WS_EPS and duals
+# capped at _WS_LAM_CAP so a stale active set (e.g. right after a setpoint
+# step) cannot start the Newton iteration nearly singular
+_WS_EPS = 1e-4
+_WS_LAM_CAP = None
+
 
 @partial(jax.jit, static_argnames=("iters", "use_pallas"))
 def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False,
@@ -56,9 +62,9 @@ def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False,
         # Newton steps are well-conditioned
         z0, lam0, s0 = init
         z = z0
-        eps_c = jnp.asarray(1e-4, dtype)
+        eps_c = jnp.asarray(_WS_EPS, dtype)
         s = jnp.maximum(h - G @ z, eps_c)
-        lam = jnp.clip(lam0, eps_c, None)
+        lam = jnp.clip(lam0, eps_c, _WS_LAM_CAP)
 
     ridge = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-6, dtype)
     eyen = jnp.eye(n, dtype=dtype)
