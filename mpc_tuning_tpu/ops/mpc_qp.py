@@ -191,6 +191,34 @@ def controller_arrays(ctl: MPCController, dtype=jnp.float64) -> dict:
         "sf_u": spec.sf_u, "sf_y": spec.sf_y,
         "sf_v": spec.sf_v if spec.n_md else np.zeros(0),
     }
+
+    # shared constraint matrix G0 (candidate masks applied as row/variable
+    # 0/1 vectors at solve time — ops/qp.solve_qp_masked) and its row outer
+    # products T2[k] = vec(G0[k] G0[k]^T), the one-matmul normal-matrix form
+    p_max, m_max, nu = spec.p_max, spec.m_max, spec.n_mv
+    n = m_max * nu + 1
+    I_du = np.eye(m_max * nu)
+    Tc = ctl.Tcum
+    zero_col = np.zeros((m_max * nu, 1))
+    ones_m = np.ones(m_max)
+    blocks = [
+        np.hstack([I_du, zero_col]) * np.kron(ones_m, en_du_hi)[:, None],
+        np.hstack([-I_du, zero_col]) * np.kron(ones_m, en_du_lo)[:, None],
+        np.hstack([Tc, zero_col]) * np.kron(ones_m, en_u_hi)[:, None],
+        np.hstack([-Tc, zero_col]) * np.kron(ones_m, en_u_lo)[:, None],
+    ]
+    if spec.has_y_constraints:
+        vmax_col = np.tile(spec.v_ymax, p_max).reshape(-1, 1)
+        vmin_col = np.tile(spec.v_ymin, p_max).reshape(-1, 1)
+        blocks.append(np.hstack([ctl.Theta, -vmax_col]) * np.tile(en_y_hi, p_max)[:, None])
+        blocks.append(np.hstack([-ctl.Theta, -vmin_col]) * np.tile(en_y_lo, p_max)[:, None])
+    eps_row = np.zeros((1, n))
+    eps_row[0, -1] = -1.0
+    blocks.append(eps_row)
+    G0 = np.vstack(blocks)
+    out["G0"] = G0
+    out["T2"] = np.einsum("ki,kj->kij", G0, G0).reshape(G0.shape[0], n * n)
+
     return {k: jnp.asarray(v, dtype=dtype) for k, v in out.items()}
 
 
@@ -253,11 +281,22 @@ def assemble_candidate(c: dict, N, Nu, delta, lam, p_max: int, m_max: int,
 
     admm = admm_precompute(H, G)
 
+    # masks for the shared-G0 structured solver (ops/qp.solve_qp_masked):
+    # G == diag(rmask) @ c["G0"] @ diag(cmask_z) exactly (the column masking
+    # of the Tcum blocks is redundant on rows rmask keeps: an active row t
+    # only reaches columns tau <= t, all active)
+    rparts = [cmask_flat] * 4
+    if with_y:
+        rparts += [jnp.repeat(row_mask, ny)] * 2
+    rparts.append(jnp.ones(1, dtype))
+    rmask = jnp.concatenate(rparts)
+    cmask_z = jnp.concatenate([cmask_flat, jnp.ones(1, dtype)])
+
     return {
         "admm": admm,
         "H": H, "G": G, "Theta": Theta, "QTheta": QTheta,
         "row_mask": row_mask, "col_mask": col_mask,
-        "cmask_flat": cmask_flat,
+        "cmask_flat": cmask_flat, "rmask": rmask, "cmask_z": cmask_z,
         "en_du_hi": en_du_hi, "en_du_lo": en_du_lo,
         "en_u_hi": en_u_hi, "en_u_lo": en_u_lo,
     }

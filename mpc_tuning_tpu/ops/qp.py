@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["solve_qp", "qp_kkt_residuals"]
+__all__ = ["solve_qp", "solve_qp_masked", "qp_kkt_residuals"]
 
 # warm-start re-centering: slacks/duals are floored at _WS_EPS and duals
 # capped at _WS_LAM_CAP so a stale active set (e.g. right after a setpoint
@@ -122,6 +122,125 @@ def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False,
         rhs = -r_d + G.T @ (r_cent / s - w * r_p)
         dz = solve(rhs)
         ds = -(r_p + G @ dz)
+        dlam = -(r_cent + lam * ds) / s
+
+        a = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
+        z = z + a * dz
+        s = s + a * ds
+        lam = lam + a * dlam
+
+        zb, lamb, sb, mb = best
+        mnew = merit_of(z, lam, s)
+        take = mnew < mb
+        best = (
+            jnp.where(take, z, zb),
+            jnp.where(take, lam, lamb),
+            jnp.where(take, s, sb),
+            jnp.where(take, mnew, mb),
+        )
+        return (z, lam, s, best), None
+
+    best0 = (z, lam, s, merit_of(z, lam, s))
+    (_, _, _, best), _ = jax.lax.scan(body, (z, lam, s, best0), None, length=iters)
+    z, lam, s, _ = best
+    return z, lam, s
+
+
+@partial(jax.jit, static_argnames=("iters", "use_pallas"))
+def solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters: int = 30,
+                    use_pallas: bool = False, init=None):
+    """PDIP for the masked-constraint MPC QP:  G = diag(rmask) G0 diag(cmask_z).
+
+    The MPC candidate batch shares ONE constraint matrix G0 (mc, n) — a
+    candidate (N, Nu) enters only through the 0/1 row mask ``rmask`` (mc,)
+    and variable mask ``cmask_z`` (n,) (ops/mpc_qp.assemble_candidate).
+    Exploiting that factorization turns every G product of the interior
+    point into a matmul against the SHARED G0, so under ``vmap`` over
+    candidates XLA emits single large MXU matmuls instead of a batch of
+    (mc, n)-sized ones (which tile the 128x128 systolic array at a few
+    percent utilization and dominated the closed-loop tuning workload):
+
+      G z        -> rmask * (G0 @ (cmask_z * z))
+      G' y       -> cmask_z * (G0' @ (rmask * y))
+      G' W G     -> reshape((w * rmask) @ T2) * outer(cmask_z, cmask_z)
+
+    with T2[k] = vec(G0[k] G0[k]') precomputed (mc, n*n) — the normal-matrix
+    formation becomes one (B, mc) @ (mc, n*n) matmul per iteration.
+
+    Same algorithm/constants as ``solve_qp`` (Mehrotra predictor-corrector,
+    fixed iteration count, best-iterate-by-merit return, warm-start
+    re-centering); results agree to solver tolerance.
+    """
+    n = H.shape[0]
+    m = G0.shape[0]
+    dtype = H.dtype
+
+    def Gmat(z):
+        return rmask * (G0 @ (cmask_z * z))
+
+    def GTmat(y):
+        return cmask_z * ((rmask * y) @ G0)
+
+    if init is None:
+        z = jnp.zeros(n, dtype)
+        s = jnp.maximum(h - Gmat(z), jnp.asarray(1.0, dtype))
+        lam = jnp.ones(m, dtype)
+    else:
+        z0, lam0, s0 = init
+        z = z0
+        eps_c = jnp.asarray(_WS_EPS, dtype)
+        s = jnp.maximum(h - Gmat(z), eps_c)
+        lam = jnp.clip(lam0, eps_c, _WS_LAM_CAP)
+
+    ridge = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-6, dtype)
+    eyen = jnp.eye(n, dtype=dtype)
+    cc = cmask_z[:, None] * cmask_z[None, :]
+    w_cap = jnp.asarray(1e13 if dtype == jnp.float64 else 1e7, dtype)
+
+    def merit_of(z, lam, s):
+        r_d = H @ z + f + GTmat(lam)
+        r_p = Gmat(z) + s - h
+        return jnp.linalg.norm(r_d) + jnp.linalg.norm(r_p) + jnp.dot(lam, s)
+
+    def body(carry, _):
+        z, lam, s, best = carry
+        r_d = H @ z + f + GTmat(lam)
+        r_p = Gmat(z) + s - h
+        mu = jnp.dot(lam, s) / m
+
+        w = jnp.minimum(lam / s, w_cap) * rmask  # (m,) — masked rows drop out
+        M = H + (w @ T2).reshape(n, n) * cc + ridge * eyen
+        if use_pallas:
+            from mpc_tuning_tpu.ops.pallas_kernels import spd_factor, spd_factor_solve
+
+            Lp = spd_factor(M)
+
+            def solve(rhs):
+                return spd_factor_solve(Lp, rhs)
+        else:
+            Lc = jnp.linalg.cholesky(M)
+
+            def solve(rhs):
+                y1 = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
+                return jax.scipy.linalg.solve_triangular(Lc.T, y1, lower=False)
+
+        rhs_aff = -r_d + GTmat(lam - w * r_p)
+        dz_aff = solve(rhs_aff)
+        ds_aff = -(r_p + Gmat(dz_aff))
+        dlam_aff = -(lam * s + lam * ds_aff) / s
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+            return jnp.minimum(1.0, 0.995 * jnp.min(ratio))
+
+        a_aff = jnp.minimum(max_step(s, ds_aff), max_step(lam, dlam_aff))
+        mu_aff = jnp.dot(lam + a_aff * dlam_aff, s + a_aff * ds_aff) / m
+        sigma = (mu_aff / (mu + 1e-30)) ** 3
+
+        r_cent = lam * s - sigma * mu + dlam_aff * ds_aff
+        rhs = -r_d + GTmat(r_cent / s - w * r_p)
+        dz = solve(rhs)
+        ds = -(r_p + Gmat(dz))
         dlam = -(r_cent + lam * ds) / s
 
         a = jnp.minimum(max_step(s, ds), max_step(lam, dlam))

@@ -31,7 +31,7 @@ from mpc_tuning_tpu.ops.mpc_qp import (
     controller_arrays,
     qp_step_data,
 )
-from mpc_tuning_tpu.ops.qp import solve_qp, solve_qp_admm
+from mpc_tuning_tpu.ops.qp import solve_qp, solve_qp_admm, solve_qp_masked
 
 __all__ = ["MPCLoop"]
 
@@ -175,13 +175,18 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
         if qp_method == "admm":
             z, ws = solve_qp_admm(cand["admm"], f, h, ws, iters=qp_iters)
         elif qp_method == "pdip_ws":
-            z, lam_w, s_w = solve_qp(cand["H"], f, cand["G"], h,
-                                     iters=qp_iters, use_pallas=use_pallas,
-                                     init=ws)
+            z, lam_w, s_w = solve_qp_masked(
+                cand["H"], f, c["G0"], c["T2"], cand["rmask"],
+                cand["cmask_z"], h, iters=qp_iters, use_pallas=use_pallas,
+                init=ws)
             ws = (z, lam_w, s_w)
-        else:
+        elif qp_method == "pdip_dense":
             z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters,
                                use_pallas=use_pallas)
+        else:  # 'pdip' — cold-start structured PDIP (reference-accurate)
+            z, _, _ = solve_qp_masked(
+                cand["H"], f, c["G0"], c["T2"], cand["rmask"],
+                cand["cmask_z"], h, iters=qp_iters, use_pallas=use_pallas)
         du = z[:nu]
         u_s = u_prev + du
 
@@ -229,8 +234,9 @@ def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
 
     f, h, _ = qp_step_data(c, cand, x_hat, u_prev, r_s, v_s,
                            p_max, m_max, ny, nu, with_y)
-    z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters,
-                       use_pallas=use_pallas)
+    z, _, _ = solve_qp_masked(cand["H"], f, c["G0"], c["T2"], cand["rmask"],
+                              cand["cmask_z"], h, iters=qp_iters,
+                              use_pallas=use_pallas)
     du_seq = (z[:-1] * cand["cmask_flat"]).reshape(m_max, nu)
     u_seq = jnp.cumsum(du_seq, axis=0) * c["sf_u"][None, :]  # (m_max, nu)
 
