@@ -84,7 +84,21 @@ def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False,
         z, lam, s, best = carry
         r_d = H @ z + f + G.T @ lam  # dual residual
         r_p = G @ z + s - h  # primal residual
-        mu = jnp.dot(lam, s) / m
+        gap = jnp.dot(lam, s)
+        mu = gap / m
+
+        # best-iterate tracking from the residuals just computed (the merit
+        # of the INCOMING iterate) — no extra G products per iteration; the
+        # final iterate is scored once after the scan.  NaN never wins.
+        zb, lamb, sb, mb = best
+        mnew = jnp.linalg.norm(r_d) + jnp.linalg.norm(r_p) + gap
+        take = mnew < mb
+        best = (
+            jnp.where(take, z, zb),
+            jnp.where(take, lam, lamb),
+            jnp.where(take, s, sb),
+            jnp.where(take, mnew, mb),
+        )
 
         w = jnp.minimum(lam / s, w_cap)  # (m,)
         M = H + (G.T * w) @ G + ridge * eyen
@@ -128,21 +142,18 @@ def solve_qp(H, f, G, h, iters: int = 30, use_pallas: bool = False,
         z = z + a * dz
         s = s + a * ds
         lam = lam + a * dlam
-
-        zb, lamb, sb, mb = best
-        mnew = merit_of(z, lam, s)
-        take = mnew < mb
-        best = (
-            jnp.where(take, z, zb),
-            jnp.where(take, lam, lamb),
-            jnp.where(take, s, sb),
-            jnp.where(take, mnew, mb),
-        )
         return (z, lam, s, best), None
 
-    best0 = (z, lam, s, merit_of(z, lam, s))
-    (_, _, _, best), _ = jax.lax.scan(body, (z, lam, s, best0), None, length=iters)
-    z, lam, s, _ = best
+    inf_m = jnp.asarray(jnp.inf, dtype)
+    best0 = (z, lam, s, inf_m)
+    (z, lam, s, best), _ = jax.lax.scan(
+        body, (z, lam, s, best0), None, length=iters)
+    zb, lamb, sb, mb = best
+    mlast = merit_of(z, lam, s)
+    take = mlast < mb
+    z = jnp.where(take, z, zb)
+    lam = jnp.where(take, lam, lamb)
+    s = jnp.where(take, s, sb)
     return z, lam, s
 
 
@@ -206,7 +217,18 @@ def solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters: int = 30,
         z, lam, s, best = carry
         r_d = H @ z + f + GTmat(lam)
         r_p = Gmat(z) + s - h
-        mu = jnp.dot(lam, s) / m
+        gap = jnp.dot(lam, s)
+        mu = gap / m
+
+        zb, lamb, sb, mb = best
+        mnew = jnp.linalg.norm(r_d) + jnp.linalg.norm(r_p) + gap
+        take = mnew < mb
+        best = (
+            jnp.where(take, z, zb),
+            jnp.where(take, lam, lamb),
+            jnp.where(take, s, sb),
+            jnp.where(take, mnew, mb),
+        )
 
         w = jnp.minimum(lam / s, w_cap) * rmask  # (m,) — masked rows drop out
         M = H + (w @ T2).reshape(n, n) * cc + ridge * eyen
