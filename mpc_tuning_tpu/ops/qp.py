@@ -269,21 +269,18 @@ def solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters: int = 30,
         z = z + a * dz
         s = s + a * ds
         lam = lam + a * dlam
-
-        zb, lamb, sb, mb = best
-        mnew = merit_of(z, lam, s)
-        take = mnew < mb
-        best = (
-            jnp.where(take, z, zb),
-            jnp.where(take, lam, lamb),
-            jnp.where(take, s, sb),
-            jnp.where(take, mnew, mb),
-        )
         return (z, lam, s, best), None
 
-    best0 = (z, lam, s, merit_of(z, lam, s))
-    (_, _, _, best), _ = jax.lax.scan(body, (z, lam, s, best0), None, length=iters)
-    z, lam, s, _ = best
+    inf_m = jnp.asarray(jnp.inf, dtype)
+    best0 = (z, lam, s, inf_m)
+    (z, lam, s, best), _ = jax.lax.scan(
+        body, (z, lam, s, best0), None, length=iters)
+    zb, lamb, sb, mb = best
+    mlast = merit_of(z, lam, s)
+    take = mlast < mb
+    z = jnp.where(take, z, zb)
+    lam = jnp.where(take, lam, lamb)
+    s = jnp.where(take, s, sb)
     return z, lam, s
 
 
