@@ -28,7 +28,7 @@ from mpc_tuning_tpu.ops.condmin import condmin
 from mpc_tuning_tpu.ops.mpc_qp import MPCSpec, build_controller
 from mpc_tuning_tpu.sim.mpc_loop import MPCLoop
 from mpc_tuning_tpu.tuning.gam import gam_solve
-from mpc_tuning_tpu.tuning.objectives import TuningProblem
+from mpc_tuning_tpu.tuning.objectives import TuningProblem, vns_objective_batch
 from mpc_tuning_tpu.tuning.vns import VNSResult, bits_to_int, int_to_bits, vns_search
 from mpc_tuning_tpu.utils.io import save_tuning
 
@@ -161,9 +161,18 @@ def hybrid_tune(
     max_alternations: int = 10,
     seed: int = 0,
     verbose: bool = True,
+    final_polish: bool = True,
 ):
     """The GAM <-> VNS alternation of MPC_TFob.m:56-132 over any
-    TuningProblem (linear toolbox-MPC or NMPC)."""
+    TuningProblem (linear toolbox-MPC or NMPC).
+
+    ``final_polish``: the reference ships a glued result — horizons from the
+    best VNS (which ran at the then-best weights) and weights from the LAST
+    fgoalattain (MPC_TFob.m:134-140) — so the shipped quadruple can be
+    inconsistent.  The polish runs one extra VNS descent at the SHIPPED
+    weights, starting from the incumbent horizons, accepting only strict
+    improvements of F evaluated at that final weight set.  It can only
+    lower the objective of the returned (N, Nu, delta, lambda)."""
     my, nu = problem.my, problem.nu
 
     # bit-encoded horizons: init N=2^nbp-1, Nu=2 (MPCTuning.m:283-289)
@@ -221,6 +230,21 @@ def hybrid_tune(
             break  # stop rule (MPC_TFob.m:108-130)
 
     # the reference applies the LAST GAM weights (MPC_TFob.m:137-140)
+    if final_polish and delta is not None:
+        F0 = float(vns_objective_batch(
+            problem, np.array([int(best["N"])]),
+            np.array([int(np.max(best["Nu"]))]), delta, lam)[0])
+        vr = vns_search(problem, best["Xv1"], best["Xv2"], delta, lam, F0,
+                        verbose=verbose)
+        if vr.Fv < F0:
+            best.update(N=vr.N, Nu=vr.Nu, Xv1=vr.Xv1, Xv2=vr.Xv2)
+        Fva = min(vr.Fv, F0)
+        history.append(dict(it="polish", Fvns=Fva, N=int(best["N"]),
+                            Nu=np.asarray(best["Nu"]).tolist(),
+                            delta=delta.tolist(), lam=lam.tolist()))
+        if verbose:
+            print(f"[polish] F(final pair)={Fva:.6g} N={best['N']} "
+                  f"Nu={np.asarray(best['Nu']).tolist()}")
     return best, delta, lam, Fva, Fvf, history
 
 
@@ -234,8 +258,13 @@ def mpc_tuning(
     seed: int = 0,
     checkpoint_dir: str | None = "checkpoints",
     verbose: bool = True,
+    L=None,
+    R=None,
 ) -> TuningResult:
-    problem, (L, R, Ru, Rv, S, cond_before) = build_problem(case, dtype, qp_iters)
+    """L/R override pins the conditioning scale (e.g. the reference's
+    committed L/R for frame-identical tuning-outcome parity runs)."""
+    problem, (L, R, Ru, Rv, S, cond_before) = build_problem(
+        case, dtype, qp_iters, L=L, R=R)
     x0 = np.concatenate([case.ov_weight0, case.mvrate_weight0])
 
     best, delta, lam, Fva, Fvf, history = hybrid_tune(

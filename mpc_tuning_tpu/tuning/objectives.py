@@ -140,8 +140,11 @@ def vns_objective_batch(
     Nu_b: np.ndarray,  # (B,) max control horizon per candidate
     delta: np.ndarray,  # (my,) current weights
     lam: np.ndarray,  # (nu,)
+    return_parts: bool = False,
 ) -> np.ndarray:
-    """VNS cost F for each candidate (VNS2.m:171-195).  Returns (B,)."""
+    """VNS cost F for each candidate (VNS2.m:171-195).  Returns (B,), or
+    (F, {"j21", "j22", "Jnu"}) when ``return_parts`` (each (B,)) — used by
+    the parity cross-evaluation and the band-objective audit."""
     B = len(N_b)
     my, nu, nit, inK = problem.my, problem.nu, problem.nit, problem.inK
     delta = _apply_band(np.abs(np.asarray(delta, dtype=np.float64)),
@@ -201,4 +204,7 @@ def vns_objective_batch(
     Xnu[~np.isfinite(Xnu)] = 0.0
     Jnu = np.sum(Xnu * Xnu, axis=(1, 2))
 
-    return j21 + j22 + N_b.astype(np.float64) + Jnu
+    F = j21 + j22 + N_b.astype(np.float64) + Jnu
+    if return_parts:
+        return F, {"j21": j21, "j22": j22, "Jnu": Jnu}
+    return F
