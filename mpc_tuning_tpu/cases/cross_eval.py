@@ -97,7 +97,16 @@ def load_repo_point(npz_path: str) -> TunedPoint:
     )
 
 
-# Committed round-1 TPU tuning runs (checkpoints/*_tpu_run.json).
+# Committed tuning runs.  REPO_TUNED_REFSCALE (preferred) are tuned with the
+# conditioning pinned to the reference's L/R (scripts/retune_refscale.py):
+# directly comparable, no frame conversion.  REPO_TUNED are the round-1 runs
+# at the repo's own CondMin scale, needing the exact weight conversion above.
+REPO_TUNED_REFSCALE = {
+    "Shell3x3": "checkpoints/Shell3x3_refscale_Tuning_20Aug2026_09_09.npz",
+    "Shell3x3_caso2": "checkpoints/Shell3x3_caso2_refscale_Tuning_20Aug2026_09_10.npz",
+    "Shell7x5": "checkpoints/Shell7x5_refscale_Tuning_20Aug2026_09_14.npz",
+    "VanDeVusse_NMPC": "checkpoints/VanDeVusse_NMPC_refscale_Tuning_20Aug2026_09_17.npz",
+}
 REPO_TUNED = {
     "Shell3x3": "checkpoints/Shell3x3_Tuning_17Aug2026_11_38.npz",
     "Shell7x5": "checkpoints/Shell7x5_Tuning_18Aug2026_07_16.npz",
@@ -180,17 +189,26 @@ def cross_eval_case(name: str, qp_iters: int | None = None) -> dict:
 
     out = {"case": name}
     out["ref"] = eval_point(problem, ref.N, ref.Nu, ref.delta, ref.lam)
-    repo_key = "Shell3x3" if name.startswith("Shell3x3") else name
-    npz = REPO_TUNED.get(repo_key)
-    if npz is not None and name in REPO_TUNED or name == "Shell3x3":
+
+    repo = None
+    npz = REPO_TUNED_REFSCALE.get(name)
+    if npz is not None:
         try:
             repo = load_repo_point(npz)
+            d, l = repo.delta, repo.lam  # same frame already
+            out["repo_frame"] = "reference L/R (refscale run)"
         except FileNotFoundError:
             repo = None
-        if repo is not None and not name.endswith("caso2"):
+    if repo is None and name in REPO_TUNED:
+        try:
+            repo = load_repo_point(REPO_TUNED[name])
             d, l = convert_weights(repo, ref.L, ref.R, n_mv)
-            out["repo"] = eval_point(problem, repo.N, repo.Nu, d, l)
-            out["repo_better_vns"] = out["repo"]["F_vns"] <= out["ref"]["F_vns"]
+            out["repo_frame"] = "own CondMin scale, weights frame-converted"
+        except FileNotFoundError:
+            repo = None
+    if repo is not None:
+        out["repo"] = eval_point(problem, repo.N, repo.Nu, d, l)
+        out["repo_better_vns"] = out["repo"]["F_vns"] <= out["ref"]["F_vns"]
     return out
 
 

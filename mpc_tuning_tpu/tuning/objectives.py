@@ -198,9 +198,20 @@ def vns_objective_batch(
     j21 = np.sum(e2 * e2, axis=(1, 2))
     j22 = np.sum(eref * eref, axis=(1, 2))
 
+    # Jnu: "was there a SIGNIFICANT change relative to the previous control
+    # increment" (VNS2.m:181-191).  The reference guards only exact 0/NaN
+    # increments (MATLAB f64 zero-pads Uopt past the control horizon, so
+    # held moves divide 0 exactly); any fixed-precision engine instead
+    # produces denormal-tiny increments whose squared ratios explode by
+    # 1e20+ and whose value flips between f32 and f64.  A relative
+    # threshold — increments below 1e-6 of the first move are "no change",
+    # contributing 0 exactly like the reference's Inf/NaN guard — makes the
+    # objective precision-stable while preserving its meaning.
     dff = np.abs(np.diff(Xuma, axis=2))
+    u1 = np.abs(Xuma[:, :, :1])
+    sig = dff > 1e-6 * (u1 + 1e-12)
     with np.errstate(divide="ignore", invalid="ignore"):
-        Xnu = np.abs(Xuma[:, :, :1]) / dff
+        Xnu = np.where(sig, u1 / dff, 0.0)
     Xnu[~np.isfinite(Xnu)] = 0.0
     Jnu = np.sum(Xnu * Xnu, axis=(1, 2))
 

@@ -1,0 +1,216 @@
+"""Production QP-path accuracy: the exact paths the tuner/bench run.
+
+ * full-loop pin against the implementation-independent Wood-Berry oracle
+   (tests/wb_oracle.py: analytic FOPDT ZOH + closed-form estimator gain +
+   native C++ active-set QP) — nominal and plant-mismatch (observer active);
+ * warm-started PDIP (15 iters, the tuning default) vs cold PDIP (40 iters)
+   over a full constrained 400-step loop;
+ * ADMM vs the native oracle on MPC-shaped QPs including the ECR slack
+   (Shell7x5 band-control shape), and ADMM closed-loop trajectory accuracy.
+
+Reference semantics: closedloop_toolbox.m:36-50 (the QP being replaced).
+"""
+
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from mpc_tuning_tpu.cases import woodberry
+from mpc_tuning_tpu.ops.native_qp import native_available, qp_solve_exact
+from mpc_tuning_tpu.tuning.api import build_problem
+from wb_oracle import M_GAIN, simulate_wb_oracle
+
+NIT = 400
+LC = np.array([0.5, 0.8])
+RC = np.array([0.9, 0.4, 1.1])
+DELTA = np.array([1.0, 1.0])
+LAM = np.array([0.1, 0.1])
+N, NU = 20, 4
+
+needs_native = pytest.mark.skipif(not native_available(), reason="no g++/native lib")
+
+
+def _wb_problem():
+    case = woodberry.make_case(nit=NIT)
+    problem, _ = build_problem(case, L=np.diag(LC), R=np.diag(RC))
+    return case, problem
+
+
+@needs_native
+def test_oracle_full_loop_nominal():
+    """Production scan (cold PDIP 40) == independent oracle over 400
+    constrained steps, to 1e-8 (VERDICT: independent 1e-4-gate evidence)."""
+    _, problem = _wb_problem()
+    y_p, u_p = problem.loop.simulate(problem.r, problem.v, NIT, N, NU,
+                                     DELTA, LAM, qp_method="pdip", qp_iters=40)
+    y_o, u_o = simulate_wb_oracle(problem.r, problem.v, NIT, N, NU,
+                                  DELTA, LAM, LC, RC)
+    assert np.abs(y_p - y_o).max() < 1e-8
+    assert np.abs(u_p - u_o).max() < 1e-8
+
+
+@needs_native
+def test_oracle_mismatch_exercises_observer():
+    """20% gain mismatch: the output-disturbance estimate drives offset-free
+    tracking; production vs oracle still agree to 1e-7."""
+    from mpc_tuning_tpu.models import plants
+    from mpc_tuning_tpu.sim.mpc_loop import MPCLoop
+
+    case, problem = _wb_problem()
+    real = plants.wood_berry(deltak=0.2)
+    plant_c = real.full.scaled(np.diag(LC), np.diag(RC)).c2d(case.Ts).to_ss()
+    loop = MPCLoop(ctl=problem.loop.ctl, plant_ss=plant_c)
+    y_p, u_p = loop.simulate(problem.r, problem.v, NIT, N, NU, DELTA, LAM,
+                             qp_method="pdip", qp_iters=40)
+    y_o, u_o = simulate_wb_oracle(problem.r, problem.v, NIT, N, NU,
+                                  DELTA, LAM, LC, RC, deltak=0.2)
+    assert np.abs(y_p - y_o).max() < 1e-7
+    # mismatch forces a nonzero disturbance estimate: the loops really did
+    # go through the Kalman correction, and still track offset-free
+    assert np.abs(y_p[250:299, 0] - problem.r[250, 0]).max() < 5e-3
+
+
+def test_production_kalman_gain_is_closed_form():
+    """The DARE-designed gain must equal the analytic output-disturbance
+    solution: zero on plant states, phi/(phi+1) per output integrator."""
+    _, problem = _wb_problem()
+    M = problem.loop.ctl.M
+    nxp = problem.loop.ctl.aug.nx_plant
+    np.testing.assert_allclose(M[:nxp], 0.0, atol=1e-9)
+    np.testing.assert_allclose(M[nxp:], M_GAIN * np.eye(2), atol=1e-9)
+
+
+def test_pdip_ws15_matches_cold40_full_loop():
+    """The tuning default (warm-started 15-iter PDIP) vs the
+    reference-accurate cold 40-iter path over the full 400-step loop."""
+    _, problem = _wb_problem()
+    y_c, u_c = problem.loop.simulate(problem.r, problem.v, NIT, N, NU,
+                                     DELTA, LAM, qp_method="pdip", qp_iters=40)
+    y_w, u_w = problem.loop.simulate(problem.r, problem.v, NIT, N, NU,
+                                     DELTA, LAM, qp_method="pdip_ws", qp_iters=15)
+    assert np.abs(y_c - y_w).max() < 1e-6
+    assert np.abs(u_c - u_w).max() < 1e-6
+
+
+def _shell7x5_qp(scale_state: float = 1.0):
+    """An MPC-shaped QP with ECR slack + soft band rows (Shell7x5 shape)."""
+    from mpc_tuning_tpu.cases import shell7x5
+    from mpc_tuning_tpu.cases.cross_eval import REF_TUNED
+    from mpc_tuning_tpu.ops.mpc_qp import assemble_candidate, qp_step_data
+
+    ref = REF_TUNED["Shell7x5"]
+    case = shell7x5.make_case()
+    problem, _ = build_problem(case, L=np.diag(ref.L), R=np.diag(ref.R))
+    loop = problem.loop
+    c = loop.arrays(jnp.float64)
+    d = loop.dims
+    cand = assemble_candidate(c, jnp.asarray(27), jnp.asarray(2),
+                              jnp.asarray(ref.delta), jnp.asarray(ref.lam),
+                              d["p_max"], d["m_max"], d["ny"], d["nu"],
+                              d["rho"], d["with_y"])
+    rng = np.random.default_rng(3)
+    nxa = np.asarray(c["A"]).shape[0]
+    x_hat = jnp.asarray(scale_state * 0.02 * rng.standard_normal(nxa))
+    u_prev = jnp.asarray(np.array([0.1, -0.05, 0.02]))
+    r_s = jnp.zeros(7)
+    v_s = jnp.asarray(np.array([0.5, 0.5]) / c["sf_v"])
+    f, h, _ = qp_step_data(c, cand, x_hat, u_prev, r_s, v_s,
+                           d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"])
+    return cand, np.asarray(f), np.asarray(h)
+
+
+def _kkt_polish(H, f, G, h, lam, tol=1e-5):
+    """Self-certifying exact arbiter: KKT solve on the active set identified
+    by an approximate solver, verified against primal feasibility and dual
+    nonnegativity — exact for a strictly convex QP regardless of the seed."""
+    act = np.where(np.asarray(lam) > tol)[0]
+    Ga = G[act]
+    KKT = np.block([[H, Ga.T], [Ga, np.zeros((len(act), len(act)))]])
+    rhs = np.concatenate([-f, h[act]])
+    sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
+    xs, mu = sol[: H.shape[0]], sol[H.shape[0]:]
+    assert np.all(G @ xs - h <= 1e-7 * (1.0 + np.abs(h)))
+    assert np.all(mu >= -1e-7)
+    return xs
+
+
+def _wb_transient_qp():
+    """Constrained Wood-Berry QP right at the setpoint step (du saturated)."""
+    from mpc_tuning_tpu.ops.mpc_qp import assemble_candidate, qp_step_data
+
+    _, problem = _wb_problem()
+    loop = problem.loop
+    c = loop.arrays(jnp.float64)
+    d = loop.dims
+    cand = assemble_candidate(c, jnp.asarray(N), jnp.asarray(NU),
+                              jnp.asarray(DELTA), jnp.asarray(LAM),
+                              d["p_max"], d["m_max"], d["ny"], d["nu"],
+                              d["rho"], d["with_y"])
+    nxa = np.asarray(c["A"]).shape[0]
+    f, h, _ = qp_step_data(c, cand, jnp.zeros(nxa), jnp.zeros(2),
+                           jnp.asarray(problem.r[10]), jnp.zeros(1),
+                           d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"])
+    return cand, np.asarray(f), np.asarray(h)
+
+
+@needs_native
+def test_admm_vs_native_oracle_on_tracking_qp():
+    """solve_qp_admm vs the native active-set oracle on the constrained
+    tracking QP class (Wood-Berry, du bounds active): 1e-6 at 500 cold
+    iterations — the ADMM implementation is exact on this class."""
+    from mpc_tuning_tpu.ops.qp import solve_qp_admm
+
+    cand, f, h = _wb_transient_qp()
+    H = np.asarray(cand["H"])
+    G = np.asarray(cand["G"])
+    z_ref, lam_ref, status = qp_solve_exact(H, f, G, h)
+    assert status == 0
+    n, mc = H.shape[0], G.shape[0]
+    z, _ = solve_qp_admm(cand["admm"], jnp.asarray(f), jnp.asarray(h),
+                         (jnp.zeros(n), jnp.zeros(mc), jnp.zeros(mc)),
+                         iters=500)
+    assert np.abs(np.asarray(z)[:-1] - z_ref[:-1]).max() < 1e-6
+
+
+def test_pdip_exact_on_ecr_band_qp_admm_documented_gap():
+    """Band-control ECR QP (Shell7x5, 601 soft rows, delta==0 so all
+    curvature lives in the constraints): PDIP reaches the KKT-verified
+    optimum to 1e-6; ADMM stalls ~2e-1 away — the documented reason the
+    band cases must run qp_method='pdip'/'pdip_ws', never 'admm'."""
+    from mpc_tuning_tpu.ops.qp import solve_qp, solve_qp_admm
+
+    cand, f, h = _shell7x5_qp()
+    H = np.asarray(cand["H"])
+    G = np.asarray(cand["G"])
+    z_p, lam_p, _ = solve_qp(cand["H"], jnp.asarray(f), cand["G"],
+                             jnp.asarray(h), iters=100)
+    z_star = _kkt_polish(H, f, G, h, lam_p)
+    assert np.abs(np.asarray(z_p) - z_star).max() < 1e-6
+
+    n, mc = H.shape[0], G.shape[0]
+    z_a, _ = solve_qp_admm(cand["admm"], jnp.asarray(f), jnp.asarray(h),
+                           (jnp.zeros(n), jnp.zeros(mc), jnp.zeros(mc)),
+                           iters=2000)
+    gap = np.abs(np.asarray(z_a) - z_star).max()
+    assert gap < 0.5, "ADMM diverged outright (expected a bounded stall)"
+
+
+def test_admm_closed_loop_documented_accuracy():
+    """Warm-started ADMM closed loop vs the PDIP loop on constrained
+    Wood-Berry.  First-order accuracy: a few 1e-2 through the saturated
+    setpoint transient — the documented approximate-fallback tolerance
+    (ADMM is NOT the tuning default; pdip_ws is)."""
+    _, problem = _wb_problem()
+    y_c, u_c = problem.loop.simulate(problem.r, problem.v, NIT, N, NU,
+                                     DELTA, LAM, qp_method="pdip", qp_iters=40)
+    y_a, u_a = problem.loop.simulate(problem.r, problem.v, NIT, N, NU,
+                                     DELTA, LAM, qp_method="admm", qp_iters=80)
+    assert np.abs(y_c - y_a).max() < 5e-2
+    # away from the transients the loops coincide much tighter
+    assert np.abs(y_c[100:190] - y_a[100:190]).max() < 2e-3
+    assert np.abs(y_c[-50:] - y_a[-50:]).max() < 2e-3
