@@ -209,6 +209,15 @@ def cross_eval_case(name: str, qp_iters: int | None = None) -> dict:
     if repo is not None:
         out["repo"] = eval_point(problem, repo.N, repo.Nu, d, l)
         out["repo_better_vns"] = out["repo"]["F_vns"] <= out["ref"]["F_vns"]
+        if name != "VanDeVusse_NMPC":
+            # the reference drivers' open-vs-closed horizon sanity check at
+            # the tuned horizons (WoodBerry.m:186-251 / Shell7x5.m:242-291)
+            from mpc_tuning_tpu.cases.verify_horizons import verify_horizons
+
+            v_const = problem.v[-1] if problem.v.shape[1] else None
+            chk = verify_horizons(problem.loop, np.diag(ref.L), int(repo.N),
+                                  int(repo.Nu.max()), d, l, v_const=v_const)
+            out["horizon_check"] = chk.as_json()
     return out
 
 

@@ -74,7 +74,13 @@ def final_simulation(case: LinearCase, res: TuningResult, nominal: bool = True,
 
 def run(tuning: bool = True, rest: bool = True, caso: int = 1,
         nominal: bool = True, nit: int = NIT, **tuner_kwargs):
+    """Driver = tune -> final sim -> open-vs-closed horizon verification
+    (Shell3x3.m:195-241)."""
+    from mpc_tuning_tpu.cases.verify_horizons import verify_horizons
+
     case = make_case(rest=rest, caso=caso, nit=nit)
     res = mpc_tuning(case, **tuner_kwargs)
     y, u = final_simulation(case, res, nominal=nominal)
-    return case, res, (y, u)
+    check = verify_horizons(res.problem.loop, res.L, res.N,
+                            int(np.max(res.Nu)), res.delta, res.lam)
+    return case, res, (y, u), check

@@ -85,10 +85,17 @@ def final_simulation(case: LinearCase, res: TuningResult, nominal: bool = True,
 
 
 def run(nominal: bool = True, nit: int = NIT, **tuner_kwargs):
+    """Driver = tune -> final sim -> open-vs-closed horizon verification
+    (non-square pulse protocol, Shell7x5.m:242-291)."""
+    from mpc_tuning_tpu.cases.verify_horizons import verify_horizons
+
     # the band-control QP (tight +-0.005 bands, ~600 soft rows) needs more
     # interior-point iterations than the tracking cases
     tuner_kwargs.setdefault("qp_iters", 60)
     case = make_case(nit=nit)
     res = mpc_tuning(case, **tuner_kwargs)
     y, u = final_simulation(case, res, nominal=nominal)
-    return case, res, (y, u)
+    check = verify_horizons(res.problem.loop, res.L, res.N,
+                            int(np.max(res.Nu)), res.delta, res.lam,
+                            v_const=res.problem.v[-1])
+    return case, res, (y, u), check

@@ -1,10 +1,13 @@
 """Open-loop vs closed-loop horizon-sanity verification.
 
 The reference's built-in physical check (WoodBerry.m:186-232, commentary at
-:186-202; same protocol in Shell3x3.m:195-241 and Shell7x5.m:242-291):
-solve the MPC once at rest toward a unit setpoint, play out the whole
-optimal sequence, and compare with the receding-horizon closed loop — if
-the horizons are well chosen the two nearly coincide.
+:186-202; same protocol in Shell3x3.m:195-241): solve the MPC once at rest
+toward a unit setpoint, play out the whole optimal sequence, and compare
+with the receding-horizon closed loop — if the horizons are well chosen the
+two nearly coincide.  Square systems run the per-output selector protocol;
+non-square/band systems run the reference's pulse protocol
+(Shell7x5.m:242-261: unit setpoint pulse on the first 5 samples, measured
+disturbances held constant, one sim).
 
 Returns per-output data + a mismatch score usable as a regression signal.
 """
@@ -32,40 +35,59 @@ class HorizonCheck:
     def ok(self) -> bool:
         return bool(np.all(self.mismatch < 0.2))
 
+    def as_json(self) -> dict:
+        return {"mismatch": [round(float(x), 4) for x in self.mismatch],
+                "ok": self.ok}
+
 
 def verify_horizons(loop: MPCLoop, L: np.ndarray, N: int, Nu: int,
                     delta, lam, nit: int | None = None,
-                    dtype=None) -> HorizonCheck:
-    """Run the per-output selector protocol at the tuned horizons."""
+                    dtype=None, v_const: np.ndarray | None = None,
+                    pulse: int = 5) -> HorizonCheck:
+    """Run the protocol at the tuned horizons (conditioned units)."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float64
     ny = loop.ctl.spec.model.ny
     nu = loop.ctl.spec.n_mv
     nd = loop.ctl.spec.n_md
-    nit = nit or (N + 30)  # WoodBerry.m:203
+    nit = nit or (N + 30)  # WoodBerry.m:203 / Shell7x5.m:242
 
     r_unit = np.asarray(L @ np.ones(ny))
-    v = np.zeros((nit, nd))
+    if v_const is None:
+        v = np.zeros((nit, nd))
+    else:
+        v = np.tile(np.asarray(v_const, dtype=np.float64), (nit, 1))
 
-    y_c = np.zeros((ny, nit))
-    y_o = np.zeros((ny, nit))
-    u_c = np.zeros((ny, nit))
-    u_o = np.zeros((ny, nit))
-    for i in range(ny):
-        sel = np.zeros(ny)
-        sel[i] = 1.0
-        r = np.tile(r_unit * sel, (nit, 1))
+    if ny == nu:
+        # per-output selector protocol (WoodBerry.m:203-232)
+        y_c = np.zeros((ny, nit))
+        y_o = np.zeros((ny, nit))
+        u_c = np.zeros((ny, nit))
+        u_o = np.zeros((ny, nit))
+        for i in range(ny):
+            sel = np.zeros(ny)
+            sel[i] = 1.0
+            r = np.tile(r_unit * sel, (nit, 1))
+            yc, uc = loop.simulate(r, v, nit, N, Nu, delta, lam, dtype=dtype)
+            yo, uo = loop.open_loop(r_unit * sel, v[-1], v, nit, N, Nu,
+                                    delta, lam, dtype=dtype)
+            y_c[i] = yc[:, i]
+            y_o[i] = yo[:, i]
+            j = min(i, nu - 1)
+            u_c[i] = uc[:, j]
+            u_o[i] = uo[:, j]
+    else:
+        # non-square pulse protocol (Shell7x5.m:242-261): unit setpoint on
+        # the first `pulse` samples, MD held, ONE closed + open sim
+        r = np.zeros((nit, ny))
+        r[:pulse] = r_unit
         yc, uc = loop.simulate(r, v, nit, N, Nu, delta, lam, dtype=dtype)
-        yo, uo = loop.open_loop(r_unit * sel, np.zeros(nd), v, nit, N, Nu,
-                                delta, lam, dtype=dtype)
-        y_c[i] = yc[:, i]
-        y_o[i] = yo[:, i]
-        j = min(i, nu - 1)
-        u_c[i] = uc[:, j]
-        u_o[i] = uo[:, j]
+        yo, uo = loop.open_loop(r[-1], v[-1], v, nit, N, Nu, delta, lam,
+                                dtype=dtype)
+        y_c, y_o = yc.T, yo.T
+        u_c, u_o = uc.T, uo.T
 
-    scale = np.maximum(np.abs(y_o).max(axis=1), 1e-9)
     mismatch = np.linalg.norm(y_c - y_o, axis=1) / (
         np.linalg.norm(y_o, axis=1) + 1e-12
     )

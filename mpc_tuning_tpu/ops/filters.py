@@ -131,6 +131,35 @@ class FilterBank:
         return FilterBank(A, B, C, D)
 
 
+def predictor_diagnostics(
+    filters: list[tuple[np.ndarray, np.ndarray]],
+    fr_bank: "FilterBank",
+    fast_ss,
+    model_ss,
+) -> dict:
+    """Build-time validation of the filtered-Smith predictor
+    S(z) = G_fast(z) - Fr(z) Pd(z)  (mimofilter.m:48-64).
+
+    Returns {dc, dc_ok, rho, stable}:
+      * dc: per-output Fr DC gain; dc_ok mirrors the reference's
+        round(dcgain(Fr)*10000) == I check (mimofilter.m:52-56);
+      * rho: spectral radius of the combined (non-minimal) realization of S
+        — the eigenvalue union of G_fast, Pd and Fr, exactly what MATLAB's
+        pole(ss(G)-ss(Fr)*ss(Pd)) reports; stable = rho < 1
+        (mimofilter.m:59-64).  An unstable predictor silently corrupts
+        every DTC run, hence the loud warning at build.
+    """
+    dc = np.array([np.sum(b) / np.sum(a) for b, a in filters])
+    dc_ok = bool(np.all(np.round(dc * 10000) == 10000))
+    eig_parts = []
+    for A in (fast_ss.A, model_ss.A, fr_bank.A):
+        A = np.asarray(A)
+        if A.size:
+            eig_parts.append(np.linalg.eigvals(A))
+    rho = float(max((np.abs(e).max() for e in eig_parts), default=0.0))
+    return {"dc": dc, "dc_ok": dc_ok, "rho": rho, "stable": rho < 1.0}
+
+
 def mimo_filter(
     model: DiscreteTF, alfa: float, raio: float, kn: int = 2
 ) -> tuple[list[tuple[np.ndarray, np.ndarray]], np.ndarray]:

@@ -18,6 +18,7 @@ Two implementations:
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
 
 import numpy as np
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 
 from mpc_tuning_tpu.models.lti import DiscreteSS, DiscreteTF, TransferFunction
 from mpc_tuning_tpu.models.simulate import dlsim
-from mpc_tuning_tpu.ops.filters import FilterBank, mimo_filter
+from mpc_tuning_tpu.ops.filters import FilterBank, mimo_filter, predictor_diagnostics
 from mpc_tuning_tpu.ops.gpc import GPCMatrices, build_gpc
 
 __all__ = ["DTCGPC"]
@@ -123,6 +124,19 @@ class DTCGPC:
         mats = build_gpc(Pnz, p, m, delta, lam, use_dtc=True)
         filters, _ = mimo_filter(Pnz, alfa, raio)
         fr = FilterBank.from_filters(filters)
+
+        # predictor validation at build time (mimofilter.m:48-64): Fr DC
+        # gain = I and S = G_fast - Fr*Pd stable; warn like the reference's
+        # validation prints — an unstable predictor corrupts every DTC run
+        diag = predictor_diagnostics(filters, fr, Gnz.to_ss(), Pnz.to_ss())
+        if not diag["dc_ok"]:
+            warnings.warn(
+                f"Fr(z) static gain wrong (dcgain={diag['dc']}) — predictor "
+                "will not be offset-free", stacklevel=2)
+        if not diag["stable"]:
+            warnings.warn(
+                f"predictor S(z) unstable (spectral radius {diag['rho']:.4f}"
+                " >= 1)", stacklevel=2)
 
         Shift, Inj = _block_shift_inject(mats.duM)
         Eref = _ref_selector(mats.N)

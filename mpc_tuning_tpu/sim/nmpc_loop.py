@@ -82,9 +82,22 @@ class NMPCLoop:
                 s.sqp_iters, s.qp_iters, float(s.Ts), tuple(s.xc),
                 s.integrator)
 
+    @staticmethod
+    def _check_no_md(v):
+        """The NMPC engine has no measured-disturbance channel — the
+        reference nonlinear path has none either (closedloop_toolbox_nmpc.m
+        passes no v into nlmpcmove; Van de Vusse declares n_md=0).  Reject
+        loudly instead of silently dropping a disturbance trajectory."""
+        if v is not None and np.asarray(v).ndim >= 2 and np.asarray(v).shape[-1] != 0:
+            raise ValueError(
+                "NMPCLoop does not support measured disturbances (v must "
+                "have 0 columns); thread them through the model rhs instead"
+            )
+
     # ------------------------------------------------------------- API
     def simulate(self, r, v, nit, N, Nu, delta, lam, dtype=jnp.float64,
                  qp_iters=None):
+        self._check_no_md(v)
         c = self._consts(dtype)
         with jax.default_matmul_precision("highest"):
             y, u = _nmpc_closed(
@@ -96,6 +109,7 @@ class NMPCLoop:
         return np.asarray(y), np.asarray(u)
 
     def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype, qp_iters):
+        self._check_no_md(v)
         c = self._consts(dtype)
         with jax.default_matmul_precision("highest"):
             return _nmpc_closed_batch(
@@ -106,6 +120,7 @@ class NMPCLoop:
         )
 
     def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype, qp_iters):
+        self._check_no_md(v)
         c = self._consts(dtype)
         with jax.default_matmul_precision("highest"):
             return _nmpc_open_batch(

@@ -162,9 +162,19 @@ def hybrid_tune(
     seed: int = 0,
     verbose: bool = True,
     final_polish: bool = True,
+    state_path: str | None = None,
+    resume: bool = False,
 ):
     """The GAM <-> VNS alternation of MPC_TFob.m:56-132 over any
     TuningProblem (linear toolbox-MPC or NMPC).
+
+    ``state_path``: persist the full tuning state (incumbent bits, weights,
+    objective incumbents, stop counter, alternation index) after every
+    alternation; ``resume=True`` continues a killed run from that file and
+    reproduces the uninterrupted result exactly (the CMA-ES inner search is
+    re-seeded per alternation with seed+it, so no RNG state needs saving).
+    The reference's only checkpoint is the final .mat (MPCTuning.m:370-381)
+    — mid-run resume is a TPU-framework addition (SURVEY.md section 5).
 
     ``final_polish``: the reference ships a glued result — horizons from the
     best VNS (which ran at the then-best weights) and weights from the LAST
@@ -190,8 +200,50 @@ def hybrid_tune(
     best = dict(N=N, Nu=Nu, Xv1=Xv1, Xv2=Xv2, delta=None, lam=None)
     history = []
     delta = lam = None
+    start_it = 0
 
-    for it in range(max_alternations):
+    if resume and state_path is not None:
+        import json as _json
+        import os as _os
+
+        if _os.path.exists(state_path):
+            with open(state_path) as fh:
+                s = _json.load(fh)
+            arr = lambda v: None if v is None else np.asarray(v)
+            best = dict(
+                N=int(s["best"]["N"]), Nu=arr(s["best"]["Nu"]),
+                Xv1=arr(s["best"]["Xv1"]).astype(np.int64),
+                Xv2=arr(s["best"]["Xv2"]).astype(np.int64),
+                delta=arr(s["best"]["delta"]), lam=arr(s["best"]["lam"]),
+            )
+            x0 = np.asarray(s["x0"])
+            Fv, Fva, Fvf, hi = s["Fv"], s["Fva"], s["Fvf"], s["hi"]
+            delta, lam = arr(s["delta"]), arr(s["lam"])
+            history = s["history"]
+            start_it = int(s["it"]) + 1
+            if hi > 0:  # stop rule had already fired — nothing left to run
+                start_it = max_alternations
+            if verbose:
+                print(f"[resume] alternation {start_it}, Fva={Fva}, hi={hi}")
+
+    def _save_state(it):
+        if state_path is None:
+            return
+        import json as _json
+
+        lst = lambda v: None if v is None else np.asarray(v).tolist()
+        with open(state_path, "w") as fh:
+            _json.dump({
+                "it": it, "x0": x0.tolist(),
+                "Fv": Fv, "Fva": Fva, "Fvf": Fvf, "hi": hi,
+                "delta": lst(delta), "lam": lst(lam),
+                "best": {"N": int(best["N"]), "Nu": lst(best["Nu"]),
+                         "Xv1": lst(best["Xv1"]), "Xv2": lst(best["Xv2"]),
+                         "delta": lst(best["delta"]), "lam": lst(best["lam"])},
+                "history": history,
+            }, fh)
+
+    for it in range(start_it, max_alternations):
         # ---- GAM: continuous weights at current incumbent horizons
         g = gam_solve(
             problem, int(best["N"]), int(np.max(best["Nu"])), x0,
@@ -223,9 +275,10 @@ def hybrid_tune(
             Fva = vr.Fv
             best.update(N=vr.N, Nu=vr.Nu, Xv1=vr.Xv1, Xv2=vr.Xv2)
 
-        history.append(dict(it=it, Fgam=Fgam, gamma=g.gamma, Fvns=vr.Fv,
+        history.append(dict(it=it, Fgam=Fgam, gamma=float(g.gamma), Fvns=vr.Fv,
                             N=int(vr.N), Nu=vr.Nu.tolist(),
                             delta=delta.tolist(), lam=lam.tolist()))
+        _save_state(it)
         if hi > 0:
             break  # stop rule (MPC_TFob.m:108-130)
 

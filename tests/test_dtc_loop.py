@@ -49,6 +49,35 @@ def test_scan_matches_reference_replay(wb_controller):
     np.testing.assert_allclose(u_scan, u_ref, atol=1e-8)
 
 
+def test_predictor_validation_flags_unstable_model():
+    """mimofilter.m:48-64 equivalent: an unstable model pole must surface
+    as a predictor-stability warning at build time; the nominal Wood-Berry
+    build must not warn."""
+    import warnings
+
+    from mpc_tuning_tpu.models.lti import tf, tfm
+
+    # unstable 2x2: one channel with a RHP pole (tau < 0 -> z-pole > 1)
+    G_bad = tfm([
+        [tf([1.0], [-5.0, 1.0], 1.0), tf([0.5], [8.0, 1.0], 1.0)],
+        [tf([0.4], [6.0, 1.0], 1.0), tf([1.2], [7.0, 1.0], 1.0)],
+    ])
+    with pytest.warns(UserWarning, match="unstable"):
+        DTCGPC.build(plant=G_bad, model=G_bad, Ts=1.0,
+                     p=np.array([3, 3]), m=np.array([3, 3]),
+                     delta=np.array([1.0, 1.0]), lam=np.array([1.0, 1.0]),
+                     L=np.eye(2), R=np.eye(2))
+
+    # nominal Wood-Berry: no predictor warnings (DC gain OK + stable)
+    plant = plants.wood_berry()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        DTCGPC.build(plant=plant.G, model=plant.G, Ts=1.0,
+                     p=np.array([3, 3]), m=np.array([3, 3]),
+                     delta=np.array([1.0, 1.0]), lam=np.array([1.0, 1.0]),
+                     L=np.eye(2), R=np.eye(2), n_md=1, disturbance=plant.D)
+
+
 def test_wood_berry_tracking_and_disturbance_rejection(wb_controller):
     nit = 200
     r, q = _signals(nit)

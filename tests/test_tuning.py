@@ -40,6 +40,38 @@ def _wb_case(nit=120, nbp=5, nbc=3):
 
 
 @pytest.mark.slow
+def test_hybrid_tune_kill_and_resume(tmp_path):
+    """Mid-run resume (SURVEY section 5 TPU plan): a run killed after the
+    first alternation and resumed from the state file must reproduce the
+    uninterrupted run's result exactly."""
+    from mpc_tuning_tpu.tuning.api import build_problem, hybrid_tune
+
+    case = _wb_case(nit=60, nbp=4, nbc=3)
+    problem, _ = build_problem(case, qp_iters=15)
+    x0 = np.concatenate([case.ov_weight0, case.mvrate_weight0])
+    kw = dict(gam_popsize=6, gam_generations=3, max_alternations=2,
+              seed=0, verbose=False, final_polish=False)
+
+    best_full, d_full, l_full, Fva_full, _, hist_full = hybrid_tune(
+        problem, case.nbp, case.nbc, x0.copy(), **kw)
+
+    state = str(tmp_path / "tuning_state.json")
+    # "killed" after alternation 0
+    hybrid_tune(problem, case.nbp, case.nbc, x0.copy(),
+                **{**kw, "max_alternations": 1}, state_path=state)
+    best_r, d_r, l_r, Fva_r, _, hist_r = hybrid_tune(
+        problem, case.nbp, case.nbc, x0.copy(), **kw,
+        state_path=state, resume=True)
+
+    assert int(best_r["N"]) == int(best_full["N"])
+    assert np.array_equal(best_r["Nu"], best_full["Nu"])
+    np.testing.assert_allclose(d_r, d_full, rtol=1e-12)
+    np.testing.assert_allclose(l_r, l_full, rtol=1e-12)
+    assert Fva_r == pytest.approx(Fva_full, rel=1e-9)
+    assert len(hist_r) == len(hist_full)
+
+
+@pytest.mark.slow
 def test_wood_berry_tuning_end_to_end(tmp_path):
     case = _wb_case()
     res = mpc_tuning(
