@@ -1,0 +1,258 @@
+"""Multi-host tuning sweeps: ``jax.distributed`` + a DCN x ICI device mesh.
+
+The reference is a single MATLAB process ('UseParallel',false,
+MPCTuning.m:89); this is the scale-out half the TPU framework adds
+(SURVEY.md section 2.6 / build-plan step 7).  The tuning workload is an
+embarrassingly parallel candidate grid whose only cross-device traffic is
+the final objective argmin, so the layout is:
+
+ * mesh axes ("host", "ici"): hosts over DCN, each host's chips over ICI;
+ * candidates sharded over BOTH axes flattened — every chip evaluates
+   B / (n_hosts * chips_per_host) closed-loop simulations;
+ * the incumbent reduction is a pmin/pmax pair over ("host", "ici") —
+   one scalar each over ICI first (fast), then DCN, inserted by XLA from
+   the same shard_map the single-host path uses.
+
+Every process must call :func:`initialize` first (standard JAX multi-host
+contract), then build identical global candidate grids (deterministic
+host code) — :func:`multihost_candidate_argmin` materializes only the
+addressable shards on each process.
+
+Validation without real multi-host hardware: ``python -m
+mpc_tuning_tpu.parallel.multihost --two-process-selftest`` spawns two
+CPU processes (4 virtual devices each via
+--xla_force_host_platform_device_count) that jax.distributed-initialize
+against a local coordinator and run one sharded sweep step;
+__graft_entry__.dryrun_multichip invokes this as part of the driver check.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+__all__ = [
+    "initialize",
+    "host_mesh",
+    "multihost_candidate_argmin",
+    "run_two_process_cpu_selftest",
+]
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """jax.distributed.initialize wrapper (no-op args on TPU pods, where
+    JAX discovers the topology itself)."""
+    import jax
+
+    kw = {}
+    if coordinator_address is not None:
+        kw.update(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
+
+
+def host_mesh(axis_host: str = "host", axis_ici: str = "ici"):
+    """(n_processes, local_device_count) mesh: hosts over DCN, chips over
+    ICI.  Candidate shardings use P((axis_host, axis_ici))."""
+    import jax
+    from jax.sharding import Mesh
+
+    n_proc = jax.process_count()
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    per = len(devs) // n_proc
+    grid = np.array(devs).reshape(n_proc, per)
+    return Mesh(grid, (axis_host, axis_ici))
+
+
+def _shard_global(mesh, spec_axes, a):
+    """Materialize a deterministic global host array as a sharded
+    jax.Array, building only this process's addressable shards."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    a = np.asarray(a)
+    spec = P(spec_axes, *([None] * (a.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+
+def multihost_candidate_argmin(mesh, local_eval_fn, global_args, B_true: int):
+    """Evaluate a candidate grid sharded over the full DCN x ICI mesh and
+    reduce to the global (min value, argmin index) with in-mesh collectives.
+
+    local_eval_fn(*local_shards) -> (B_local,) objective values.
+    global_args: list of np arrays with the candidate axis first, IDENTICAL
+    on every process (deterministic grid construction).  Padded lanes
+    (index >= B_true) are masked to +inf before the reduction.
+    Returns (vmin, gidx) as python scalars, identical on every process.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    axes = mesh.axis_names  # ("host", "ici")
+    nd = mesh.devices.size
+    padded = []
+    for a in global_args:
+        a = np.asarray(a)
+        pad = (-a.shape[0]) % nd
+        if pad:
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+        padded.append(a)
+
+    def body(*sharded):
+        F = local_eval_fn(*sharded)
+        base = sum(
+            jax.lax.axis_index(ax) * st
+            for ax, st in zip(axes, (F.shape[0] * mesh.shape[axes[1]], F.shape[0]))
+        )
+        gidx_lane = base + jnp.arange(F.shape[0])
+        F = jnp.where(gidx_lane < B_true, F, jnp.inf)
+        li = jnp.argmin(F)
+        lv = F[li]
+        gi = gidx_lane[li]
+        vmin = jax.lax.pmin(lv, axes[1])          # ICI first
+        vmin = jax.lax.pmin(vmin, axes[0])        # then DCN
+        winner = jnp.where(lv == vmin, gi, -1)
+        gidx = jax.lax.pmax(jax.lax.pmax(winner, axes[1]), axes[0])
+        return vmin[None, None], gidx[None, None]
+
+    in_specs = tuple(
+        P(axes, *([None] * (np.ndim(a) - 1))) for a in padded
+    )
+    out_spec = P(axes[0], axes[1])
+    f = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                              out_specs=(out_spec, out_spec), check_vma=False))
+    args_dev = [_shard_global(mesh, axes, a) for a in padded]
+    vmin, gidx = f(*args_dev)
+    # the reduction already made every shard identical; read a LOCAL shard
+    # (the global array spans non-addressable devices on multi-host)
+    vmin = float(np.asarray(vmin.addressable_shards[0].data).ravel()[0])
+    gidx = int(np.asarray(gidx.addressable_shards[0].data).ravel()[0])
+    return vmin, gidx
+
+
+# ----------------------------------------------------------- selftest
+
+
+def _selftest_worker(coordinator: str, nprocs: int, pid: int) -> None:
+    """One process of the 2-process CPU validation: tiny Wood-Berry sweep
+    (same workload as __graft_entry__.dryrun_multichip) over the global
+    (nprocs x 4)-device mesh."""
+    import jax
+
+    initialize(coordinator, nprocs, pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+
+    import jax.numpy as jnp
+
+    from mpc_tuning_tpu.cases import woodberry
+    from mpc_tuning_tpu.sim.mpc_loop import closed_loop_core
+    from mpc_tuning_tpu.tuning.api import build_problem
+
+    mesh = host_mesh()
+    nd = mesh.devices.size
+
+    nit = 20
+    case = woodberry.make_case(nit=nit, nbp=4, nbc=2)
+    problem, _ = build_problem(case, dtype=jnp.float32, qp_iters=10)
+    loop = problem.loop
+    c = loop.arrays(jnp.float32)
+    d = loop.dims
+    v = jnp.asarray(problem.v[:nit], jnp.float32)
+    Yref = jnp.asarray(problem.Yref[:nit], jnp.float32)
+    statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"], 10)
+
+    B = 2 * nd  # 2 candidates per chip
+    r_b = np.broadcast_to(np.asarray(problem.r[:nit], np.float32), (B, nit, 2))
+    N_b = np.arange(B) % 4 + 8
+    Nu_b = np.full(B, 3)
+    delta_b = np.ones((B, 2), np.float32)
+    lam_b = np.full((B, 2), 0.1, np.float32)
+
+    def local_eval(r_l, N_l, Nu_l, delta_l, lam_l):
+        Y, _ = jax.vmap(
+            closed_loop_core,
+            in_axes=(None, 0, None, 0, 0, 0, 0) + (None,) * 9,
+        )(c, r_l, v, N_l, Nu_l, delta_l, lam_l, *statics, "pdip_ws", False)
+        err = Y - Yref[None]
+        return jnp.sum(err * err, axis=(1, 2))
+
+    vmin, gidx = multihost_candidate_argmin(
+        mesh, local_eval, [r_b, N_b, Nu_b, delta_b, lam_b], B)
+    assert np.isfinite(vmin), vmin
+    assert 0 <= gidx < B, gidx
+    if pid == 0:
+        print(f"MULTIHOST_OK procs={nprocs} devices={nd} "
+              f"best={gidx} objective={vmin:.6g}", flush=True)
+
+
+def run_two_process_cpu_selftest(nprocs: int = 2, per_proc_devices: int = 4,
+                                 timeout: float = 600.0) -> str:
+    """Spawn nprocs CPU processes that jax.distributed-initialize against a
+    local coordinator and run one sharded sweep step.  Returns the OK line."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").split("--xla_force_host_platform_device_count")[0]
+                        + f" --xla_force_host_platform_device_count={per_proc_devices}").strip()
+    # clean CPU interpreters: drop any accelerator-plugin sitecustomize
+    # hook (it would initialize a backend before jax.distributed can)
+    env["PYTHONPATH"] = str(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = []
+    for pid in range(nprocs):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "mpc_tuning_tpu.parallel.multihost",
+             "--worker", "--coordinator", coord,
+             "--nprocs", str(nprocs), "--pid", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    outs = []
+    ok = True
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            ok = False
+        outs.append(out)
+        ok = ok and (p.returncode == 0)
+    joined = "\n".join(outs)
+    if not ok or "MULTIHOST_OK" not in joined:
+        raise RuntimeError(f"multihost selftest failed:\n{joined}")
+    return next(l for l in joined.splitlines() if l.startswith("MULTIHOST_OK"))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--two-process-selftest", action="store_true")
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--pid", type=int, default=0)
+    args = ap.parse_args(argv)
+    if args.worker:
+        _selftest_worker(args.coordinator, args.nprocs, args.pid)
+    elif args.two_process_selftest:
+        print(run_two_process_cpu_selftest(nprocs=args.nprocs))
+    else:
+        ap.error("choose --worker or --two-process-selftest")
+
+
+if __name__ == "__main__":
+    main()
