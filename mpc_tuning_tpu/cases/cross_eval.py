@@ -104,7 +104,9 @@ def load_repo_point(npz_path: str) -> TunedPoint:
 REPO_TUNED_REFSCALE = {
     "Shell3x3": "checkpoints/Shell3x3_refscale_Tuning_20Aug2026_09_09.npz",
     "Shell3x3_caso2": "checkpoints/Shell3x3_caso2_refscale_Tuning_20Aug2026_09_10.npz",
-    "Shell7x5": "checkpoints/Shell7x5_refscale_Tuning_20Aug2026_09_14.npz",
+    # f64-polish stage output (scripts/polish_shell7x5_f64.py) — the band
+    # case's VNS decisions are finalized at f64 (PARITY.md)
+    "Shell7x5": "checkpoints/Shell7x5_refscale_f64polish_Tuning_20Aug2026_09_47.npz",
     "VanDeVusse_NMPC": "checkpoints/VanDeVusse_NMPC_refscale_Tuning_20Aug2026_09_17.npz",
 }
 REPO_TUNED = {
@@ -211,13 +213,21 @@ def cross_eval_case(name: str, qp_iters: int | None = None) -> dict:
         out["repo_better_vns"] = out["repo"]["F_vns"] <= out["ref"]["F_vns"]
         if name != "VanDeVusse_NMPC":
             # the reference drivers' open-vs-closed horizon sanity check at
-            # the tuned horizons (WoodBerry.m:186-251 / Shell7x5.m:242-291)
+            # the tuned horizons (WoodBerry.m:186-251 / Shell7x5.m:242-291).
+            # The reference PLOTS this (no numeric gate); both parameter
+            # sets' scores are persisted for comparison — e.g. Shell3x3
+            # ref-tuned scores [0.17, 0.15, 1.16], so absolute thresholds
+            # would flag the reference's own artifacts.
             from mpc_tuning_tpu.cases.verify_horizons import verify_horizons
 
             v_const = problem.v[-1] if problem.v.shape[1] else None
             chk = verify_horizons(problem.loop, np.diag(ref.L), int(repo.N),
                                   int(repo.Nu.max()), d, l, v_const=v_const)
             out["horizon_check"] = chk.as_json()
+            chk_r = verify_horizons(problem.loop, np.diag(ref.L), int(ref.N),
+                                    int(ref.Nu.max()), ref.delta, ref.lam,
+                                    v_const=v_const)
+            out["horizon_check_ref"] = chk_r.as_json()
     return out
 
 
