@@ -27,7 +27,8 @@ from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["spd_solve"]
+__all__ = ["spd_solve", "spd_factor", "spd_factor_solve",
+           "factor_lanes", "solve_lanes"]
 
 
 def _interpret() -> bool:
@@ -253,6 +254,56 @@ def _solve_batched_impl(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         interpret=_interpret(),
     )(Lt, rt)
     return out.transpose(1, 0)[:B, :n]
+
+
+# ------------------------------------------------ lane-major entry points
+#
+# The custom_vmap entry points below take/return (B, n, n) batch-major
+# arrays, so every factor/solve call pays a transpose + padded-scatter
+# round-trip through HBM.  The lane-major entry points keep EVERYTHING in
+# the kernel's native layout — matrices (n, n, B), vectors (n, B), batch on
+# the 128-wide lane axis — so the interior-point loop that calls them
+# (ops/qp.solve_qp_masked_lanes) does zero layout changes per iteration.
+# Requirements: n % 8 == 0, B % 128 == 0 (the caller pads once per solve).
+
+
+def factor_lanes(Mt: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky of (n, n, B) lane-major SPD batch -> (n, n, B) factor."""
+    n, n2, B = Mt.shape
+    assert n == n2 and n % 8 == 0 and B % 128 == 0, (n, n2, B)
+    Bt = 128
+    return pl.pallas_call(
+        functools.partial(_factor_kernel, n),
+        grid=(B // Bt,),
+        in_specs=[pl.BlockSpec((n, n, Bt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, n, Bt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n, B), Mt.dtype),
+        scratch_shapes=[pltpu.VMEM((n, n, Bt), Mt.dtype)],
+        interpret=_interpret(),
+    )(Mt)
+
+
+def solve_lanes(Lt: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Two triangular solves with a lane-major factor: rhs (n, B) -> (n, B)."""
+    n, n2, B = Lt.shape
+    assert rhs.shape == (n, B), (Lt.shape, rhs.shape)
+    Bt = 128
+    return pl.pallas_call(
+        functools.partial(_solve_kernel, n),
+        grid=(B // Bt,),
+        in_specs=[
+            pl.BlockSpec((n, n, Bt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, Bt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, B), rhs.dtype),
+        scratch_shapes=[pltpu.VMEM((n, Bt), rhs.dtype)],
+        interpret=_interpret(),
+    )(Lt, rhs)
 
 
 @custom_vmap

@@ -23,12 +23,14 @@ Design notes
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["solve_qp", "solve_qp_masked", "qp_kkt_residuals"]
+__all__ = ["solve_qp", "solve_qp_masked", "solve_qp_masked_lanes",
+           "solve_qp_masked_fast", "qp_kkt_residuals"]
 
 # warm-start re-centering: slacks/duals are floored at _WS_EPS and duals
 # capped at _WS_LAM_CAP so a stale active set (e.g. right after a setpoint
@@ -282,6 +284,208 @@ def solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters: int = 30,
     lam = jnp.where(take, lam, lamb)
     s = jnp.where(take, s, sb)
     return z, lam, s
+
+
+def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
+                          iters: int, init_b, use_pallas: bool = True):
+    """Explicitly-batched LANE-MAJOR masked PDIP — the TPU speed path.
+
+    Same algorithm and constants as ``solve_qp_masked`` but the whole
+    interior-point loop runs with the candidate batch on the trailing
+    (lane) axis: vectors (k, B), normal matrices (n_pad, n_pad, B) — the
+    native layout of the Pallas factor/solve kernels
+    (ops/pallas_kernels.factor_lanes / solve_lanes).  The batch-major
+    custom_vmap path pays a transpose + padded-scatter HBM round-trip per
+    kernel call (3+ per iteration); here every iteration is
+      one (n_pad^2, mc) @ (mc, B) normal-matrix matmul (MXU),
+      one lane-batched Cholesky + two lane-batched triangular solve pairs,
+      four (mc, n) @ (n/mc, B) G-products (MXU),
+      and elementwise (k, B) vector work,
+    with zero layout changes.
+
+    H_b (B, n, n), f_b (B, n), rmask_b (B, mc), cmask_b (B, n), h_b (B, mc),
+    init_b = (z0 (B, n), lam0 (B, mc), s0 (B, mc)); G0 (mc, n), T2
+    (mc, n*n) shared.  Returns (z, lam, s) batch-major.
+    """
+    B, n = f_b.shape
+    mc = G0.shape[0]
+    dtype = f_b.dtype
+    n_pad = max(8, -(-n // 8) * 8)
+    B_pad = -(-B // 128) * 128
+    pb = B_pad - B
+
+    # ---- one-time layout: batched -> lane-major (+ batch padding)
+    def lanes(x, fill=0.0):
+        x = x.T  # (k, B)
+        if pb:
+            x = jnp.concatenate(
+                [x, jnp.full((x.shape[0], pb), fill, dtype)], axis=1)
+        return x
+
+    f_l = lanes(f_b)
+    h_l = lanes(h_b, 1.0)
+    rmask_l = lanes(rmask_b)          # padded lanes: all rows masked
+    cmask_l = lanes(cmask_b)
+    Hp = jnp.zeros((n_pad, n_pad, B_pad), dtype)
+    Hp = Hp.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+    Hp = Hp.at[:n, :n, :B].set(H_b.transpose(1, 2, 0))
+    # padded batch lanes keep the identity diagonal (nonsingular no-ops)
+    if pb:
+        Hp = Hp.at[jnp.arange(n), jnp.arange(n), B:].set(1.0)
+
+    # padded T2^T: (n_pad*n_pad, mc), zeros in padded rows/cols
+    T2p = jnp.zeros((mc, n_pad, n_pad), dtype)
+    T2p = T2p.at[:, :n, :n].set(T2.reshape(mc, n, n))
+    T2T = T2p.reshape(mc, n_pad * n_pad).T
+
+    cc = cmask_l[:, None, :] * cmask_l[None, :, :]  # (n, n, B_pad)
+    cc_pad = jnp.zeros((n_pad, n_pad, B_pad), dtype).at[:n, :n, :].set(cc)
+
+    z0_b, lam0_b, s0_b = init_b
+    eps_c = jnp.asarray(_WS_EPS, dtype)
+    z = lanes(z0_b)
+
+    def Gmat(z):  # (n, B) -> (mc, B)
+        return rmask_l * (G0 @ (cmask_l * z[:n]))
+
+    def GTmat(y):  # (mc, B) -> (n, B)
+        return cmask_l * (G0.T @ (rmask_l * y))
+
+    s = jnp.maximum(h_l - Gmat(z), eps_c)
+    lam = jnp.clip(lanes(lam0_b, 1.0), eps_c, _WS_LAM_CAP)
+
+    ridge = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-6, dtype)
+    w_cap = jnp.asarray(1e13 if dtype == jnp.float64 else 1e7, dtype)
+
+    def merit_of(z, lam, s):
+        r_d = jnp.einsum("ijB,jB->iB", Hp[:n, :n], z) + f_l + GTmat(lam)
+        r_p = Gmat(z) + s - h_l
+        return (jnp.linalg.norm(r_d, axis=0) + jnp.linalg.norm(r_p, axis=0)
+                + jnp.sum(lam * s, axis=0))  # (B_pad,)
+
+    if use_pallas:
+        from mpc_tuning_tpu.ops.pallas_kernels import factor_lanes, solve_lanes
+    else:  # CPU/debug: jnp path in the same layout
+        def factor_lanes(Mt):
+            return jnp.linalg.cholesky(Mt.transpose(2, 0, 1)).transpose(1, 2, 0)
+
+        def solve_lanes(Lt, rhs):
+            L = Lt.transpose(2, 0, 1)
+            r = rhs.T[..., None]
+            y1 = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+            x = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L, -1, -2), y1, lower=False)
+            return x[..., 0].T
+
+    def pad_n(v):  # (n, B) -> (n_pad, B) zeros below
+        return jnp.concatenate(
+            [v, jnp.zeros((n_pad - n, B_pad), dtype)], axis=0) if n_pad > n else v
+
+    def body(carry, _):
+        z, lam, s, best = carry
+        r_d = jnp.einsum("ijB,jB->iB", Hp[:n, :n], z) + f_l + GTmat(lam)
+        r_p = Gmat(z) + s - h_l
+        gap = jnp.sum(lam * s, axis=0)
+        mu = gap / mc
+
+        zb, lamb, sb, mb = best
+        mnew = (jnp.linalg.norm(r_d, axis=0) + jnp.linalg.norm(r_p, axis=0)
+                + gap)
+        take = mnew < mb
+        best = (jnp.where(take[None, :], z, zb),
+                jnp.where(take[None, :], lam, lamb),
+                jnp.where(take[None, :], s, sb),
+                jnp.where(take, mnew, mb))
+
+        w = jnp.minimum(lam / s, w_cap) * rmask_l  # (mc, B)
+        M = Hp + (T2T @ w).reshape(n_pad, n_pad, B_pad) * cc_pad
+        M = M.at[jnp.arange(n_pad), jnp.arange(n_pad), :].add(ridge)
+        Lt = factor_lanes(M)
+
+        rhs_aff = pad_n(-r_d + GTmat(lam - w * r_p))
+        dz_aff = solve_lanes(Lt, rhs_aff)[:n]
+        ds_aff = -(r_p + Gmat(dz_aff))
+        dlam_aff = -(lam * s + lam * ds_aff) / s
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+            return jnp.minimum(1.0, 0.995 * jnp.min(ratio, axis=0))  # (B,)
+
+        a_aff = jnp.minimum(max_step(s, ds_aff), max_step(lam, dlam_aff))
+        mu_aff = jnp.sum((lam + a_aff * dlam_aff) * (s + a_aff * ds_aff),
+                         axis=0) / mc
+        sigma = (mu_aff / (mu + 1e-30)) ** 3
+
+        r_cent = lam * s - sigma[None, :] * mu[None, :] + dlam_aff * ds_aff
+        rhs = pad_n(-r_d + GTmat(r_cent / s - w * r_p))
+        dz = solve_lanes(Lt, rhs)[:n]
+        ds = -(r_p + Gmat(dz))
+        dlam = -(r_cent + lam * ds) / s
+
+        a = jnp.minimum(max_step(s, ds), max_step(lam, dlam))[None, :]
+        z = z + a * dz
+        s = s + a * ds
+        lam = lam + a * dlam
+        return (z, lam, s, best), None
+
+    inf_m = jnp.full((B_pad,), jnp.inf, dtype)
+    best0 = (z, lam, s, inf_m)
+    (z, lam, s, best), _ = jax.lax.scan(
+        body, (z, lam, s, best0), None, length=iters)
+    zb, lamb, sb, mb = best
+    mlast = merit_of(z, lam, s)
+    take = (mlast < mb)[None, :]
+    z = jnp.where(take, z, zb)
+    lam = jnp.where(take, lam, lamb)
+    s = jnp.where(take, s, sb)
+    return z[:, :B].T, lam[:, :B].T, s[:, :B].T
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_fast(iters: int, use_pallas: bool):
+    """custom_vmap wrapper: per-lane calls fall back to solve_qp_masked;
+    the candidate-batched call (the tuning hot path) runs the lane-major
+    implementation."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def fast(H, f, G0, T2, rmask, cmask_z, h, z0, lam0, s0):
+        return solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters=iters,
+                               use_pallas=use_pallas, init=(z0, lam0, s0))
+
+    @fast.def_vmap
+    def _rule(axis_size, in_batched, H, f, G0, T2, rmask, cmask_z, h,
+              z0, lam0, s0):
+        bH, bf, bG0, bT2, brm, bcm, bh, bz, bl, bs = in_batched
+        assert not bG0 and not bT2, "G0/T2 are shared constants"
+
+        def bcast(x, b, shape):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
+
+        H = bcast(H, bH, H.shape)
+        f = bcast(f, bf, f.shape)
+        rmask = bcast(rmask, brm, rmask.shape)
+        cmask_z = bcast(cmask_z, bcm, cmask_z.shape)
+        h = bcast(h, bh, h.shape)
+        z0 = bcast(z0, bz, z0.shape)
+        lam0 = bcast(lam0, bl, lam0.shape)
+        s0 = bcast(s0, bs, s0.shape)
+        out = solve_qp_masked_lanes(H, f, G0, T2, rmask, cmask_z, h,
+                                    iters, (z0, lam0, s0),
+                                    use_pallas=use_pallas)
+        return out, (True, True, True)
+
+    return fast
+
+
+def solve_qp_masked_fast(H, f, G0, T2, rmask, cmask_z, h, iters: int,
+                         use_pallas: bool, init):
+    """Masked PDIP that auto-switches to the lane-major batched engine
+    under vmap (the closed-loop tuning path).  init is required (pass
+    zeros/ones for a cold start)."""
+    z0, lam0, s0 = init
+    return _masked_fast(int(iters), bool(use_pallas))(
+        H, f, G0, T2, rmask, cmask_z, h, z0, lam0, s0)
 
 
 def admm_precompute(H, G, sigma: float = 1e-6):

@@ -20,6 +20,7 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 VARIANTS = {
+    "lanes15": dict(method="pdip_ws_lanes", pallas=True, iters=15, prec="highest"),
     "pallas15": dict(method="pdip_ws", pallas=True, iters=15, prec="highest"),
     "xla15": dict(method="pdip_ws", pallas=False, iters=15, prec="highest"),
     "pallas5": dict(method="pdip_ws", pallas=True, iters=5, prec="highest"),

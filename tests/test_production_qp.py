@@ -97,6 +97,31 @@ def test_pdip_ws15_matches_cold40_full_loop():
     assert np.abs(u_c - u_w).max() < 1e-6
 
 
+def test_lanes_engine_matches_pdip_ws_closed_loop():
+    """The lane-major batched PDIP engine (qp_method='pdip_ws_lanes', the
+    TPU speed path) must reproduce the per-lane vmapped engine over a full
+    candidate-batched constrained closed loop."""
+    import jax.numpy as jnp
+
+    _, problem = _wb_problem()
+    loop = problem.loop
+    nitt = 200
+    B = 3
+    r_b = np.broadcast_to(problem.r[:nitt], (B, nitt, 2))
+    N_b = np.array([20, 16, 24])
+    Nu_b = np.array([4, 3, 5])
+    d_b = np.tile(DELTA, (B, 1))
+    l_b = np.tile(LAM, (B, 1))
+    y1, u1 = loop.closed_batch(r_b, problem.v, N_b, Nu_b, d_b, l_b, nitt,
+                               jnp.float64, 15, qp_method="pdip_ws",
+                               use_pallas=False)
+    y2, u2 = loop.closed_batch(r_b, problem.v, N_b, Nu_b, d_b, l_b, nitt,
+                               jnp.float64, 15, qp_method="pdip_ws_lanes",
+                               use_pallas=False)
+    assert np.abs(np.asarray(y1) - np.asarray(y2)).max() < 1e-10
+    assert np.abs(np.asarray(u1) - np.asarray(u2)).max() < 1e-10
+
+
 def _shell7x5_qp(scale_state: float = 1.0):
     """An MPC-shaped QP with ECR slack + soft band rows (Shell7x5 shape)."""
     from mpc_tuning_tpu.cases import shell7x5
