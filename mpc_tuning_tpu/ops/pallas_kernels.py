@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["spd_solve", "spd_factor", "spd_factor_solve",
-           "factor_lanes", "solve_lanes"]
+           "factor_lanes", "solve_lanes", "pdip_fused_lanes"]
 
 
 def _interpret() -> bool:
@@ -304,6 +304,235 @@ def solve_lanes(Lt: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         scratch_shapes=[pltpu.VMEM((n, Bt), rhs.dtype)],
         interpret=_interpret(),
     )(Lt, rhs)
+
+
+# ------------------------------------------------- fused full-PDIP kernel
+#
+# One pallas_call per QP SOLVE (all `iters` Mehrotra iterations), not per
+# factor/solve: the whole interior point for a block of Bt candidate lanes
+# runs out of VMEM — normal-matrix assembly ((n_pad^2, mc_pad) @ (mc_pad,
+# Bt) on the MXU), in-place Cholesky, four triangular substitutions, and
+# every elementwise vector op — with HBM touched only once per solve for
+# the per-candidate constants and the warm-start state.  The per-iteration
+# HBM round-trips of the factor/solve-kernel path (M, L, rhs, x each 3+
+# times per iteration) are what dominated its runtime; here they are gone.
+# Algorithm and constants mirror ops/qp.solve_qp_masked_lanes exactly
+# (same update order, best-iterate-by-merit tracking, fraction-to-boundary
+# 0.995, sigma = (mu_aff/mu)^3), replacing the MATLAB toolbox active-set
+# QP of /root/reference/MPC-Tuning/MPC_Tuning/closedloop_toolbox.m:50.
+
+
+def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
+                       ridge: float, w_cap: float,
+                       Hp_ref, T2T_ref, G0_ref, G0T_ref, f_ref, h_ref,
+                       rmask_ref, cmask_ref, z0_ref, lam0_ref,
+                       z_out, lam_out, s_out, L_ref, y_ref, x_ref):
+    """One Bt-lane block: full warm-started masked PDIP in VMEM.
+
+    Shapes (per block): Hp (n_pad, n_pad, Bt) per-lane Hessians (identity
+    diagonal on padded rows), T2T (n_pad^2, mc_pad) shared vec-outer-product
+    constraint table, G0/G0T (mc_pad, n_pad)/(n_pad, mc_pad) shared, vectors
+    (n_pad, Bt) / (mc_pad, Bt).  Rows >= mc are padding: rmask 0, h 1 —
+    their duals are pinned to zero (vmask) so gap/merit match the unpadded
+    engine bit-for-bit in exact arithmetic.
+    """
+    dtype = f_ref.dtype
+    n_pad = Hp_ref.shape[0]
+    mcp = h_ref.shape[0]
+    HIGH = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))
+
+    vmask = (jax.lax.broadcasted_iota(jnp.int32, (mcp, 1), 0) < mc
+             ).astype(dtype)
+
+    f = f_ref[...]
+    h = h_ref[...]
+    rmask = rmask_ref[...]
+    cmask = cmask_ref[...]
+    Hp = Hp_ref[...]
+    G0 = G0_ref[...]
+    G0T = G0T_ref[...]
+    T2T = T2T_ref[...]
+    cc = cmask[:, None, :] * cmask[None, :, :]          # (n_pad, n_pad, Bt)
+    diag = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad, 1), 1)
+            ).astype(dtype)
+
+    def Gmat(z):                                        # (n_pad,Bt)->(mcp,Bt)
+        return rmask * jax.lax.dot_general(
+            G0, cmask * z, dn, precision=HIGH, preferred_element_type=dtype)
+
+    def GTmat(yv):                                      # (mcp,Bt)->(n_pad,Bt)
+        return cmask * jax.lax.dot_general(
+            G0T, rmask * yv, dn, precision=HIGH, preferred_element_type=dtype)
+
+    def Hz(z):
+        return jnp.sum(Hp * z[None, :, :], axis=1)
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+
+    def factor(M):
+        """In-place Cholesky of M (value) into L_ref."""
+        L_ref[...] = M
+
+        def chol_step(j, _):
+            d = jnp.sqrt(L_ref[pl.ds(j, 1), pl.ds(j, 1), :])[0, 0, :]
+            col_raw = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+            below = (row_idx > j).astype(dtype)
+            col = col_raw * below / d[None, :]
+            dsel = (row_idx == j).astype(dtype)
+            L_ref[:, pl.ds(j, 1), :] = (col + dsel * d[None, :])[:, None, :]
+            L_ref[...] = L_ref[...] - col[:, None, :] * col[None, :, :]
+            return 0
+
+        jax.lax.fori_loop(0, n_pad, chol_step, 0)
+
+    def tri_solve(rhs):
+        """L L^T x = rhs with the factor in L_ref; rhs (n_pad, Bt) value."""
+        y_ref[...] = jnp.zeros_like(rhs)
+
+        def fwd_step(j, _):
+            Lrow = L_ref[pl.ds(j, 1), :, :][0]
+            mask = (row_idx < j).astype(dtype)
+            acc = jnp.sum(Lrow * mask * y_ref[...], axis=0)
+            d = L_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
+            r_j = jax.lax.dynamic_slice_in_dim(rhs, j, 1, axis=0)[0]
+            y_ref[pl.ds(j, 1), :] = ((r_j - acc) / d)[None, :]
+            return 0
+
+        jax.lax.fori_loop(0, n_pad, fwd_step, 0)
+
+        x_ref[...] = jnp.zeros_like(rhs)
+
+        def bwd_step(jj, _):
+            j = n_pad - 1 - jj
+            Lcol = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+            mask = (row_idx > j).astype(dtype)
+            acc = jnp.sum(Lcol * mask * x_ref[...], axis=0)
+            d = L_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
+            x_ref[pl.ds(j, 1), :] = ((y_ref[pl.ds(j, 1), :][0] - acc) / d
+                                     )[None, :]
+            return 0
+
+        jax.lax.fori_loop(0, n_pad, bwd_step, 0)
+        return x_ref[...]
+
+    # ---- warm start (identical re-centering to solve_qp_masked_lanes)
+    z = z0_ref[...]
+    lam = jnp.maximum(lam0_ref[...], eps_c) * vmask
+    s = jnp.maximum(h - Gmat(z), eps_c)
+
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / dv, inf)
+        return jnp.minimum(1.0, 0.995 * jnp.min(ratio, axis=0,
+                                                keepdims=True))  # (1, Bt)
+
+    def body(_, carry):
+        z, lam, s, bz, blam, bs, bm = carry
+        r_d = Hz(z) + f + GTmat(lam)
+        r_p = Gmat(z) + s - h
+        gap = jnp.sum(lam * s, axis=0, keepdims=True)   # (1, Bt)
+        mu = gap / mc
+
+        mnew = (jnp.sqrt(jnp.sum(r_d * r_d, axis=0, keepdims=True))
+                + jnp.sqrt(jnp.sum(r_p * r_p, axis=0, keepdims=True)) + gap)
+        take = mnew < bm
+        bz = jnp.where(take, z, bz)
+        blam = jnp.where(take, lam, blam)
+        bs = jnp.where(take, s, bs)
+        bm = jnp.where(take, mnew, bm)
+
+        w = jnp.minimum(lam / s, w_cap) * rmask         # (mcp, Bt)
+        Mw = jax.lax.dot_general(T2T, w, dn, precision=HIGH,
+                                 preferred_element_type=dtype)
+        M = Hp + Mw.reshape(n_pad, n_pad, -1) * cc + ridge * diag
+        factor(M)
+
+        rhs_aff = -r_d + GTmat(lam - w * r_p)
+        dz_aff = tri_solve(rhs_aff)
+        ds_aff = -(r_p + Gmat(dz_aff))
+        dlam_aff = -(lam * s + lam * ds_aff) / s * vmask
+
+        a_aff = jnp.minimum(max_step(s, ds_aff), max_step(lam, dlam_aff))
+        mu_aff = jnp.sum((lam + a_aff * dlam_aff) * (s + a_aff * ds_aff),
+                         axis=0, keepdims=True) / mc
+        sig_r = mu_aff / (mu + 1e-30)
+        sigma = sig_r * sig_r * sig_r
+
+        r_cent = lam * s - sigma * mu + dlam_aff * ds_aff
+        dz = tri_solve(-r_d + GTmat(r_cent / s - w * r_p))
+        ds = -(r_p + Gmat(dz))
+        dlam = -(r_cent + lam * ds) / s * vmask
+
+        a = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
+        return (z + a * dz, lam + a * dlam, s + a * ds, bz, blam, bs, bm)
+
+    bm0 = jnp.full(s[:1].shape, jnp.inf, dtype)         # (1, Bt)
+    z, lam, s, bz, blam, bs, bm = jax.lax.fori_loop(
+        0, iters, body, (z, lam, s, z, lam, s, bm0))
+
+    r_d = Hz(z) + f + GTmat(lam)
+    r_p = Gmat(z) + s - h
+    mlast = (jnp.sqrt(jnp.sum(r_d * r_d, axis=0, keepdims=True))
+             + jnp.sqrt(jnp.sum(r_p * r_p, axis=0, keepdims=True))
+             + jnp.sum(lam * s, axis=0, keepdims=True))
+    take = mlast < bm
+    z_out[...] = jnp.where(take, z, bz)
+    lam_out[...] = jnp.where(take, lam, blam)
+    s_out[...] = jnp.where(take, s, bs)
+
+
+def pdip_fused_lanes(Hp, T2T, G0p, f_l, h_l, rmask_l, cmask_l, z0_l, lam0_l,
+                     *, n: int, mc: int, iters: int, eps_c: float,
+                     ridge: float, w_cap: float, block_lanes: int = 128):
+    """Lane-major fused PDIP over the candidate batch.
+
+    Hp (n_pad, n_pad, B), T2T (n_pad^2, mc_pad), G0p (mc_pad, n_pad);
+    vectors lane-major (rows, B) with B % block_lanes == 0.  Returns
+    (z, lam, s) lane-major.
+    """
+    n_pad, _, B = Hp.shape
+    mcp = G0p.shape[0]
+    dtype = f_l.dtype
+    Bt = block_lanes
+    assert B % Bt == 0 and Bt % 128 == 0, (B, Bt)
+    grid = (B // Bt,)
+
+    def vec(rows):
+        return pl.BlockSpec((rows, Bt), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    shared2 = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    zs, lams, ss = pl.pallas_call(
+        functools.partial(_pdip_fused_kernel, n, mc, iters, eps_c, ridge,
+                          w_cap),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_pad, n_pad, Bt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            shared2(n_pad * n_pad, mcp),
+            shared2(mcp, n_pad),
+            shared2(n_pad, mcp),
+            vec(n_pad), vec(mcp), vec(mcp), vec(n_pad), vec(n_pad), vec(mcp),
+        ],
+        out_specs=(vec(n_pad), vec(mcp), vec(mcp)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, B), dtype),
+            jax.ShapeDtypeStruct((mcp, B), dtype),
+            jax.ShapeDtypeStruct((mcp, B), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, n_pad, Bt), dtype),
+            pltpu.VMEM((n_pad, Bt), dtype),
+            pltpu.VMEM((n_pad, Bt), dtype),
+        ],
+        interpret=_interpret(),
+    )(Hp, T2T, G0p, jnp.transpose(G0p), f_l, h_l, rmask_l, cmask_l,
+      z0_l, lam0_l)
+    return zs, lams, ss
 
 
 @custom_vmap

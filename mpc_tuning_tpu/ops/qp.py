@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["solve_qp", "solve_qp_masked", "solve_qp_masked_lanes",
-           "solve_qp_masked_fast", "qp_kkt_residuals"]
+           "solve_qp_masked_fused", "solve_qp_masked_fast",
+           "qp_kkt_residuals"]
 
 # warm-start re-centering: slacks/duals are floored at _WS_EPS and duals
 # capped at _WS_LAM_CAP so a stale active set (e.g. right after a setpoint
@@ -441,11 +442,80 @@ def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
     return z[:, :B].T, lam[:, :B].T, s[:, :B].T
 
 
+def solve_qp_masked_fused(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
+                          iters: int, init_b, block_lanes: int = None):
+    """Explicitly-batched masked PDIP through ONE fused Pallas kernel call
+    (ops/pallas_kernels.pdip_fused_lanes): the entire `iters`-iteration
+    interior point for each 128-lane candidate block runs out of VMEM, so
+    HBM is touched once per QP solve instead of 6+ times per iteration.
+    Same layout contract and algorithm as solve_qp_masked_lanes; constraint rows
+    are padded mc -> mc_pad (multiple of 8) with rmask=0 / h=1 / duals
+    pinned to 0, which leaves gap, merit and every step length unchanged.
+    """
+    import os
+
+    from mpc_tuning_tpu.ops.pallas_kernels import pdip_fused_lanes
+
+    if block_lanes is None:  # VMEM-residency knob, autotuned by the bench
+        block_lanes = int(os.environ.get("MPC_FUSED_LANES", "128"))
+    B, n = f_b.shape
+    mc = G0.shape[0]
+    dtype = f_b.dtype
+    n_pad = max(8, -(-n // 8) * 8)
+    mcp = max(8, -(-mc // 8) * 8)
+    B_pad = -(-B // block_lanes) * block_lanes
+    pb = B_pad - B
+
+    def lanes(x, fill=0.0):
+        x = x.T
+        if pb:
+            x = jnp.concatenate(
+                [x, jnp.full((x.shape[0], pb), fill, dtype)], axis=1)
+        return x
+
+    def pad_rows(x, rows, fill=0.0):
+        if x.shape[0] == rows:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((rows - x.shape[0], x.shape[1]), fill, dtype)],
+            axis=0)
+
+    f_l = pad_rows(lanes(f_b), n_pad)
+    h_l = pad_rows(lanes(h_b, 1.0), mcp, 1.0)
+    rmask_l = pad_rows(lanes(rmask_b), mcp)
+    cmask_l = pad_rows(lanes(cmask_b), n_pad)
+
+    Hp = jnp.zeros((n_pad, n_pad, B_pad), dtype)
+    Hp = Hp.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+    Hp = Hp.at[:n, :n, :B].set(H_b.transpose(1, 2, 0))
+    if pb:
+        Hp = Hp.at[jnp.arange(n), jnp.arange(n), B:].set(1.0)
+
+    T2p = jnp.zeros((mcp, n_pad, n_pad), dtype)
+    T2p = T2p.at[:mc, :n, :n].set(T2.reshape(mc, n, n))
+    T2T = T2p.reshape(mcp, n_pad * n_pad).T
+    G0p = jnp.zeros((mcp, n_pad), dtype).at[:mc, :n].set(G0)
+
+    z0_b, lam0_b, _ = init_b
+    z0_l = pad_rows(lanes(z0_b), n_pad)
+    lam0_l = pad_rows(lanes(lam0_b, 1.0), mcp)
+
+    ridge = 1e-9 if dtype == jnp.float64 else 1e-6
+    w_cap = 1e13 if dtype == jnp.float64 else 1e7
+
+    z, lam, s = pdip_fused_lanes(
+        Hp, T2T, G0p, f_l, h_l, rmask_l, cmask_l, z0_l, lam0_l,
+        n=n, mc=mc, iters=int(iters), eps_c=float(_WS_EPS),
+        ridge=float(ridge), w_cap=float(w_cap), block_lanes=block_lanes)
+    return z[:n, :B].T, lam[:mc, :B].T, s[:mc, :B].T
+
+
 @functools.lru_cache(maxsize=None)
-def _masked_fast(iters: int, use_pallas: bool):
+def _masked_fast(iters: int, use_pallas: bool, engine: str = "lanes"):
     """custom_vmap wrapper: per-lane calls fall back to solve_qp_masked;
     the candidate-batched call (the tuning hot path) runs the lane-major
-    implementation."""
+    implementation — engine='lanes' (per-component Pallas kernels) or
+    'fused' (one whole-PDIP kernel per solve)."""
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
@@ -470,21 +540,25 @@ def _masked_fast(iters: int, use_pallas: bool):
         z0 = bcast(z0, bz, z0.shape)
         lam0 = bcast(lam0, bl, lam0.shape)
         s0 = bcast(s0, bs, s0.shape)
-        out = solve_qp_masked_lanes(H, f, G0, T2, rmask, cmask_z, h,
-                                    iters, (z0, lam0, s0),
-                                    use_pallas=use_pallas)
+        if engine == "fused":
+            out = solve_qp_masked_fused(H, f, G0, T2, rmask, cmask_z, h,
+                                        iters, (z0, lam0, s0))
+        else:
+            out = solve_qp_masked_lanes(H, f, G0, T2, rmask, cmask_z, h,
+                                        iters, (z0, lam0, s0),
+                                        use_pallas=use_pallas)
         return out, (True, True, True)
 
     return fast
 
 
 def solve_qp_masked_fast(H, f, G0, T2, rmask, cmask_z, h, iters: int,
-                         use_pallas: bool, init):
+                         use_pallas: bool, init, engine: str = "lanes"):
     """Masked PDIP that auto-switches to the lane-major batched engine
     under vmap (the closed-loop tuning path).  init is required (pass
     zeros/ones for a cold start)."""
     z0, lam0, s0 = init
-    return _masked_fast(int(iters), bool(use_pallas))(
+    return _masked_fast(int(iters), bool(use_pallas), str(engine))(
         H, f, G0, T2, rmask, cmask_z, h, z0, lam0, s0)
 
 

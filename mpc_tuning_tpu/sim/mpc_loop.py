@@ -175,14 +175,17 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                                p_max, m_max, ny, nu, with_y)
         if qp_method == "admm":
             z, ws = solve_qp_admm(cand["admm"], f, h, ws, iters=qp_iters)
-        elif qp_method == "pdip_ws_lanes":
+        elif qp_method in ("pdip_ws_lanes", "pdip_ws_fused"):
             # warm-started PDIP through the lane-major batched engine: under
             # vmap over candidates the custom_vmap rule runs the whole
             # interior point in the Pallas kernels' native (k, B) layout —
-            # zero transposes per iteration (ops/qp.solve_qp_masked_lanes)
+            # zero transposes per iteration (ops/qp.solve_qp_masked_lanes);
+            # 'pdip_ws_fused' runs ALL iterations inside ONE Pallas kernel
+            # call per step (ops/pallas_kernels.pdip_fused_lanes)
             z, lam_w, s_w = solve_qp_masked_fast(
                 cand["H"], f, c["G0"], c["T2"], cand["rmask"],
-                cand["cmask_z"], h, qp_iters, use_pallas, ws)
+                cand["cmask_z"], h, qp_iters, use_pallas, ws,
+                engine="fused" if qp_method == "pdip_ws_fused" else "lanes")
             ws = (z, lam_w, s_w)
         elif qp_method == "pdip_ws":
             z, lam_w, s_w = solve_qp_masked(
@@ -207,7 +210,7 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
         x_pl = c["A_pl"] @ x_pl + c["B_pl"] @ jnp.concatenate([u_out, vk])
         return (x_pl, x_hat_pred, u_s, ws), (y, u_out)
 
-    if qp_method in ("pdip_ws", "pdip_ws_lanes"):
+    if qp_method in ("pdip_ws", "pdip_ws_lanes", "pdip_ws_fused"):
         ws0 = (jnp.zeros(nz, dtype), jnp.ones(mc, dtype), jnp.ones(mc, dtype))
     else:
         ws0 = (jnp.zeros(nz, dtype), jnp.zeros(mc, dtype), jnp.zeros(mc, dtype))

@@ -21,6 +21,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 VARIANTS = {
     "lanes15": dict(method="pdip_ws_lanes", pallas=True, iters=15, prec="highest"),
+    "fused15": dict(method="pdip_ws_fused", pallas=True, iters=15, prec="highest"),
+    "lanes10": dict(method="pdip_ws_lanes", pallas=True, iters=10, prec="highest"),
+    "lanes15_bf16": dict(method="pdip_ws_lanes", pallas=True, iters=15, prec="default"),
     "pallas15": dict(method="pdip_ws", pallas=True, iters=15, prec="highest"),
     "xla15": dict(method="pdip_ws", pallas=False, iters=15, prec="highest"),
     "pallas5": dict(method="pdip_ws", pallas=True, iters=5, prec="highest"),
@@ -70,8 +73,11 @@ def worker(name: str):
     for _ in range(reps):
         run()
     dt = (time.perf_counter() - t0) / reps
-    print(json.dumps({"variant": name, "B": B, "sims_per_s": round(B / dt, 2),
-                      "seconds_per_batch": round(dt, 4), **cfg}))
+    rec = {"variant": name, "B": B, "sims_per_s": round(B / dt, 2),
+           "seconds_per_batch": round(dt, 4), **cfg}
+    if cfg["method"] == "pdip_ws_fused":
+        rec["fused_lanes"] = int(os.environ.get("MPC_FUSED_LANES", "128"))
+    print(json.dumps(rec))
 
 
 def main():
