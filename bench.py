@@ -24,7 +24,10 @@ import time
 import numpy as np
 
 NIT = 400
-QP_ITERS = 15
+QP_ITERS = int(os.environ.get("BENCH_QP_ITERS", "15"))
+# production tuning engine: the fused whole-PDIP Pallas kernel
+# (ops/pallas_kernels.pdip_fused_lanes); override with BENCH_METHOD
+QP_METHOD = os.environ.get("BENCH_METHOD", "pdip_ws_fused")
 
 
 def _flops_per_sim(d, qp_iters=QP_ITERS):
@@ -78,7 +81,7 @@ def main():
     def run():
         with jax.default_matmul_precision("highest"):
             Y, U = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
-                                     *statics, "pdip_ws", use_pallas)
+                                     *statics, QP_METHOD, use_pallas)
         # force full execution + device->host sync (block_until_ready alone
         # does not synchronize on the axon tunnel backend)
         return float(jnp.sum(Y))
@@ -134,7 +137,7 @@ def main():
         "detail": {
             "device": str(dev), "batch": B, "nit": NIT,
             "p_max": d["p_max"], "m_max": d["m_max"],
-            "qp_iters": QP_ITERS, "qp_method": "pdip_ws", "dtype": "float32",
+            "qp_iters": QP_ITERS, "qp_method": QP_METHOD, "dtype": "float32",
             "qp_kernel": "pallas" if use_pallas else "xla",
             "matmul_precision": "highest",
             "seconds_per_batch": round(dt, 4),

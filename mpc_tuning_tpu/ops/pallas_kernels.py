@@ -323,10 +323,11 @@ def solve_lanes(Lt: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
-                       ridge: float, w_cap: float,
+                       ridge: float, w_cap: float, solve_mode: str,
                        Hp_ref, T2T_ref, G0_ref, G0T_ref, f_ref, h_ref,
                        rmask_ref, cmask_ref, z0_ref, lam0_ref,
-                       z_out, lam_out, s_out, L_ref, y_ref, x_ref):
+                       z_out, lam_out, s_out, L_ref, y_ref, x_ref, r_ref,
+                       Xi_ref):
     """One Bt-lane block: full warm-started masked PDIP in VMEM.
 
     Shapes (per block): Hp (n_pad, n_pad, Bt) per-lane Hessians (identity
@@ -387,8 +388,44 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
 
         jax.lax.fori_loop(0, n_pad, chol_step, 0)
 
-    def tri_solve(rhs):
-        """L L^T x = rhs with the factor in L_ref; rhs (n_pad, Bt) value."""
+    def tril_invert():
+        """Explicit L^{-1} into Xi_ref by STATIC blocked doubling.
+
+        Substitution is a 2*n_pad-long serial chain of tiny (1, Bt) vector
+        ops per solve — the measured latency wall of the whole fused kernel
+        (4 substitution passes x 15 iterations x n_pad steps).  Inverting L
+        once per iteration instead costs log2(n_pad) levels of per-lane
+        block products (X21 = -X22 L21 X11, all blocks static slices), after
+        which every solve collapses to two one-pass batched contractions.
+        """
+        L = L_ref[...]
+        dinv = 1.0 / jnp.sum(L * diag, axis=1)          # (n_pad, Bt)
+        Xi_ref[...] = dinv[:, None, :] * diag
+
+        def bmm(A, Bm):  # per-lane (k,k,Bt) @ (k,k,Bt)
+            return jnp.sum(A[:, :, None, :] * Bm[None, :, :, :], axis=1)
+
+        k = 1
+        while k < n_pad:
+            for o in range(0, n_pad, 2 * k):
+                X11 = Xi_ref[o:o + k, o:o + k, :]
+                X22 = Xi_ref[o + k:o + 2 * k, o + k:o + 2 * k, :]
+                L21 = L[o + k:o + 2 * k, o:o + k, :]
+                Xi_ref[o + k:o + 2 * k, o:o + k, :] = -bmm(X22, bmm(L21, X11))
+            k *= 2
+
+    def tri_solve_inv(rhs):
+        """x = L^{-T} L^{-1} rhs via the explicit inverse — two batched
+        one-pass contractions, no serial substitution chain."""
+        Xi = Xi_ref[...]
+        yv = jnp.sum(Xi * rhs[None, :, :], axis=1)       # L^{-1} rhs
+        return jnp.sum(Xi * yv[:, None, :], axis=0)      # L^{-T} y
+
+    def tri_solve_subst(rhs):
+        """L L^T x = rhs with the factor in L_ref; rhs (n_pad, Bt) value.
+        rhs is staged through r_ref: Mosaic cannot dynamic_slice a VALUE
+        with a traced row index, but ref indexing via pl.ds lowers fine."""
+        r_ref[...] = rhs
         y_ref[...] = jnp.zeros_like(rhs)
 
         def fwd_step(j, _):
@@ -396,7 +433,7 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
             mask = (row_idx < j).astype(dtype)
             acc = jnp.sum(Lrow * mask * y_ref[...], axis=0)
             d = L_ref[pl.ds(j, 1), pl.ds(j, 1), :][0, 0, :]
-            r_j = jax.lax.dynamic_slice_in_dim(rhs, j, 1, axis=0)[0]
+            r_j = r_ref[pl.ds(j, 1), :][0]
             y_ref[pl.ds(j, 1), :] = ((r_j - acc) / d)[None, :]
             return 0
 
@@ -416,6 +453,8 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
 
         jax.lax.fori_loop(0, n_pad, bwd_step, 0)
         return x_ref[...]
+
+    tri_solve = tri_solve_inv if solve_mode == "trinv" else tri_solve_subst
 
     # ---- warm start (identical re-centering to solve_qp_masked_lanes)
     z = z0_ref[...]
@@ -449,6 +488,8 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
                                  preferred_element_type=dtype)
         M = Hp + Mw.reshape(n_pad, n_pad, -1) * cc + ridge * diag
         factor(M)
+        if solve_mode == "trinv":
+            tril_invert()
 
         rhs_aff = -r_d + GTmat(lam - w * r_p)
         dz_aff = tri_solve(rhs_aff)
@@ -486,7 +527,8 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
 
 def pdip_fused_lanes(Hp, T2T, G0p, f_l, h_l, rmask_l, cmask_l, z0_l, lam0_l,
                      *, n: int, mc: int, iters: int, eps_c: float,
-                     ridge: float, w_cap: float, block_lanes: int = 128):
+                     ridge: float, w_cap: float, block_lanes: int = 128,
+                     solve_mode: str = "trinv"):
     """Lane-major fused PDIP over the candidate batch.
 
     Hp (n_pad, n_pad, B), T2T (n_pad^2, mc_pad), G0p (mc_pad, n_pad);
@@ -508,7 +550,7 @@ def pdip_fused_lanes(Hp, T2T, G0p, f_l, h_l, rmask_l, cmask_l, z0_l, lam0_l,
                                         memory_space=pltpu.VMEM)
     zs, lams, ss = pl.pallas_call(
         functools.partial(_pdip_fused_kernel, n, mc, iters, eps_c, ridge,
-                          w_cap),
+                          w_cap, solve_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((n_pad, n_pad, Bt), lambda i: (0, 0, i),
@@ -528,6 +570,8 @@ def pdip_fused_lanes(Hp, T2T, G0p, f_l, h_l, rmask_l, cmask_l, z0_l, lam0_l,
             pltpu.VMEM((n_pad, n_pad, Bt), dtype),
             pltpu.VMEM((n_pad, Bt), dtype),
             pltpu.VMEM((n_pad, Bt), dtype),
+            pltpu.VMEM((n_pad, Bt), dtype),
+            pltpu.VMEM((n_pad, n_pad, Bt), dtype),
         ],
         interpret=_interpret(),
     )(Hp, T2T, G0p, jnp.transpose(G0p), f_l, h_l, rmask_l, cmask_l,

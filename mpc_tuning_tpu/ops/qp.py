@@ -312,7 +312,9 @@ def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
     mc = G0.shape[0]
     dtype = f_b.dtype
     n_pad = max(8, -(-n // 8) * 8)
-    B_pad = -(-B // 128) * 128
+    # lane padding is a kernel-layout requirement; the jnp fallback path
+    # (CPU/debug) runs at the true batch size
+    B_pad = -(-B // 128) * 128 if use_pallas else B
     pb = B_pad - B
 
     # ---- one-time layout: batched -> lane-major (+ batch padding)
@@ -458,6 +460,9 @@ def solve_qp_masked_fused(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
 
     if block_lanes is None:  # VMEM-residency knob, autotuned by the bench
         block_lanes = int(os.environ.get("MPC_FUSED_LANES", "128"))
+    # 'trinv' (explicit blocked L^{-1}, short critical path — production) or
+    # 'subst' (serial substitution, bitwise-matches solve_qp_masked_lanes)
+    solve_mode = os.environ.get("MPC_FUSED_SOLVE", "trinv")
     B, n = f_b.shape
     mc = G0.shape[0]
     dtype = f_b.dtype
@@ -506,7 +511,8 @@ def solve_qp_masked_fused(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
     z, lam, s = pdip_fused_lanes(
         Hp, T2T, G0p, f_l, h_l, rmask_l, cmask_l, z0_l, lam0_l,
         n=n, mc=mc, iters=int(iters), eps_c=float(_WS_EPS),
-        ridge=float(ridge), w_cap=float(w_cap), block_lanes=block_lanes)
+        ridge=float(ridge), w_cap=float(w_cap), block_lanes=block_lanes,
+        solve_mode=solve_mode)
     return z[:n, :B].T, lam[:mc, :B].T, s[:mc, :B].T
 
 

@@ -47,7 +47,12 @@ class TuningProblem:
     goal: float = 0.001
     dtype: object = jnp.float64
     qp_iters: int = 30
-    qp_method: str = "pdip_ws"  # warm-started PDIP: 15 iters ~ cold 40
+    # warm-started PDIP (15 iters ~ cold 40) through the lane-major batched
+    # engine: under the candidate vmap the whole interior point runs in the
+    # Pallas kernels' native (k, B) layout (1285 vs 881 sims/s on one v5e
+    # chip, checkpoints/bench_ablate.jsonl); per-lane calls fall back to the
+    # identical solve_qp_masked (matches to 4e-14 f64, test_production_qp)
+    qp_method: str = "pdip_ws_lanes"
     linear: bool = True  # False => NMPC loop, nonlinear VNS protocol
     mesh: object = None  # jax.sharding.Mesh -> candidate axis sharded over it
 

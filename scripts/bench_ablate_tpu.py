@@ -77,6 +77,7 @@ def worker(name: str):
            "seconds_per_batch": round(dt, 4), **cfg}
     if cfg["method"] == "pdip_ws_fused":
         rec["fused_lanes"] = int(os.environ.get("MPC_FUSED_LANES", "128"))
+        rec["fused_solve"] = os.environ.get("MPC_FUSED_SOLVE", "trinv")
     print(json.dumps(rec))
 
 
