@@ -143,6 +143,10 @@ def main():
             "seconds_per_batch": round(dt, 4),
             "qp_solves_per_s_chip": round(qp_solves_per_s, 0),
             "qp_p50_latency_us": round(qp_p50_us, 1),
+            # single-QP p50 is host-observed: on the axon backend each call
+            # pays the tunnel round-trip, so this upper-bounds device time;
+            # the batched-path per-QP cost is 1/qp_solves_per_s_chip.
+            "qp_p50_includes_dispatch_rtt": True,
             "est_flops_per_sim": round(fl),
             "est_mfu_pct": round(est_mfu_pct, 2),
         },

@@ -26,7 +26,19 @@ import jax.numpy as jnp
 
 from mpc_tuning_tpu.sim.mpc_loop import MPCLoop  # noqa: F401 (typing/docs)
 
-__all__ = ["TuningProblem", "gam_sse_batch", "vns_objective_batch"]
+__all__ = ["TuningProblem", "gam_sse_batch", "vns_objective_batch",
+           "resolve_qp_method"]
+
+
+def resolve_qp_method(method: str) -> str:
+    """'auto' -> the fastest engine for the active backend (see
+    TuningProblem.qp_method); explicit names pass through."""
+    if method != "auto":
+        return method
+    import jax
+
+    return ("pdip_ws_fused" if jax.default_backend() != "cpu"
+            else "pdip_ws_lanes")
 
 
 @dataclasses.dataclass
@@ -47,12 +59,14 @@ class TuningProblem:
     goal: float = 0.001
     dtype: object = jnp.float64
     qp_iters: int = 30
-    # warm-started PDIP (15 iters ~ cold 40) through the lane-major batched
-    # engine: under the candidate vmap the whole interior point runs in the
-    # Pallas kernels' native (k, B) layout (1285 vs 881 sims/s on one v5e
-    # chip, checkpoints/bench_ablate.jsonl); per-lane calls fall back to the
-    # identical solve_qp_masked (matches to 4e-14 f64, test_production_qp)
-    qp_method: str = "pdip_ws_lanes"
+    # warm-started PDIP (15 iters ~ cold 40); 'auto' picks the fastest
+    # engine for the backend: on TPU the FUSED whole-PDIP Pallas kernel
+    # (1690 vs 881 sims/s on one v5e chip, checkpoints/bench_ablate.jsonl;
+    # same f32 error vs the f64 ground-truth loop as pdip_ws itself,
+    # checkpoints/qp_engine_agreement_tpu.json), on CPU the lane-major
+    # engine's jnp path (the fused kernel would run interpret-mode there).
+    # Both match per-lane solve_qp_masked to <1e-13 f64 (test_production_qp).
+    qp_method: str = "auto"
     linear: bool = True  # False => NMPC loop, nonlinear VNS protocol
     mesh: object = None  # jax.sharding.Mesh -> candidate axis sharded over it
 
@@ -93,7 +107,7 @@ class TuningProblem:
         )
         kw = {}
         if hasattr(self.loop, "ctl"):  # linear engine supports qp_method
-            kw["qp_method"] = self.qp_method
+            kw["qp_method"] = resolve_qp_method(self.qp_method)
         Y, U = self.loop.closed_batch(
             jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
             self.nit, self.dtype, self.qp_iters, **kw,
