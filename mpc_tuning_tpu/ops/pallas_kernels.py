@@ -397,21 +397,30 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
         once per iteration instead costs log2(n_pad) levels of per-lane
         block products (X21 = -X22 L21 X11, all blocks static slices), after
         which every solve collapses to two one-pass batched contractions.
+
+        n_pad need NOT be a power of two (Shell shapes give n_pad = 24/48):
+        when the trailing block is ragged the merge is clamped to n_pad —
+        the blocked recursion is valid for ragged X22 (k' x k' with k' < k),
+        and a block whose right half would start past n_pad is already fully
+        inverted from the previous level, so it is skipped.
         """
         L = L_ref[...]
         dinv = 1.0 / jnp.sum(L * diag, axis=1)          # (n_pad, Bt)
         Xi_ref[...] = dinv[:, None, :] * diag
 
-        def bmm(A, Bm):  # per-lane (k,k,Bt) @ (k,k,Bt)
+        def bmm(A, Bm):  # per-lane (p,q,Bt) @ (q,r,Bt)
             return jnp.sum(A[:, :, None, :] * Bm[None, :, :, :], axis=1)
 
         k = 1
         while k < n_pad:
             for o in range(0, n_pad, 2 * k):
+                if o + k >= n_pad:  # trailing block <= k: already inverted
+                    continue
+                hi = min(o + 2 * k, n_pad)
                 X11 = Xi_ref[o:o + k, o:o + k, :]
-                X22 = Xi_ref[o + k:o + 2 * k, o + k:o + 2 * k, :]
-                L21 = L[o + k:o + 2 * k, o:o + k, :]
-                Xi_ref[o + k:o + 2 * k, o:o + k, :] = -bmm(X22, bmm(L21, X11))
+                X22 = Xi_ref[o + k:hi, o + k:hi, :]
+                L21 = L[o + k:hi, o:o + k, :]
+                Xi_ref[o + k:hi, o:o + k, :] = -bmm(X22, bmm(L21, X11))
             k *= 2
 
     def tri_solve_inv(rhs):

@@ -445,7 +445,8 @@ def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
 
 
 def solve_qp_masked_fused(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
-                          iters: int, init_b, block_lanes: int = None):
+                          iters: int, init_b, block_lanes: int = 128,
+                          solve_mode: str = "trinv"):
     """Explicitly-batched masked PDIP through ONE fused Pallas kernel call
     (ops/pallas_kernels.pdip_fused_lanes): the entire `iters`-iteration
     interior point for each 128-lane candidate block runs out of VMEM, so
@@ -453,16 +454,16 @@ def solve_qp_masked_fused(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
     Same layout contract and algorithm as solve_qp_masked_lanes; constraint rows
     are padded mc -> mc_pad (multiple of 8) with rmask=0 / h=1 / duals
     pinned to 0, which leaves gap, merit and every step length unchanged.
-    """
-    import os
 
+    block_lanes — VMEM-residency knob (candidate lanes per kernel block);
+    solve_mode — 'trinv' (explicit blocked L^{-1}, short critical path —
+    production) or 'subst' (serial substitution, bitwise-matches
+    solve_qp_masked_lanes).  Both are EXPLICIT compile-time arguments
+    threaded from the caller (e.g. qp_method='pdip_ws_fused@256/subst' in
+    sim/mpc_loop.py); there are no environment reads on this path.
+    """
     from mpc_tuning_tpu.ops.pallas_kernels import pdip_fused_lanes
 
-    if block_lanes is None:  # VMEM-residency knob, autotuned by the bench
-        block_lanes = int(os.environ.get("MPC_FUSED_LANES", "128"))
-    # 'trinv' (explicit blocked L^{-1}, short critical path — production) or
-    # 'subst' (serial substitution, bitwise-matches solve_qp_masked_lanes)
-    solve_mode = os.environ.get("MPC_FUSED_SOLVE", "trinv")
     B, n = f_b.shape
     mc = G0.shape[0]
     dtype = f_b.dtype
@@ -517,11 +518,14 @@ def solve_qp_masked_fused(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
 
 
 @functools.lru_cache(maxsize=None)
-def _masked_fast(iters: int, use_pallas: bool, engine: str = "lanes"):
+def _masked_fast(iters: int, use_pallas: bool, engine: str = "lanes",
+                 block_lanes: int = 128, solve_mode: str = "trinv"):
     """custom_vmap wrapper: per-lane calls fall back to solve_qp_masked;
     the candidate-batched call (the tuning hot path) runs the lane-major
     implementation — engine='lanes' (per-component Pallas kernels) or
-    'fused' (one whole-PDIP kernel per solve)."""
+    'fused' (one whole-PDIP kernel per solve).  block_lanes/solve_mode
+    configure the fused kernel (part of the cache key, so distinct configs
+    compile distinct programs)."""
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
@@ -548,7 +552,9 @@ def _masked_fast(iters: int, use_pallas: bool, engine: str = "lanes"):
         s0 = bcast(s0, bs, s0.shape)
         if engine == "fused":
             out = solve_qp_masked_fused(H, f, G0, T2, rmask, cmask_z, h,
-                                        iters, (z0, lam0, s0))
+                                        iters, (z0, lam0, s0),
+                                        block_lanes=block_lanes,
+                                        solve_mode=solve_mode)
         else:
             out = solve_qp_masked_lanes(H, f, G0, T2, rmask, cmask_z, h,
                                         iters, (z0, lam0, s0),
@@ -559,12 +565,14 @@ def _masked_fast(iters: int, use_pallas: bool, engine: str = "lanes"):
 
 
 def solve_qp_masked_fast(H, f, G0, T2, rmask, cmask_z, h, iters: int,
-                         use_pallas: bool, init, engine: str = "lanes"):
+                         use_pallas: bool, init, engine: str = "lanes",
+                         block_lanes: int = 128, solve_mode: str = "trinv"):
     """Masked PDIP that auto-switches to the lane-major batched engine
     under vmap (the closed-loop tuning path).  init is required (pass
     zeros/ones for a cold start)."""
     z0, lam0, s0 = init
-    return _masked_fast(int(iters), bool(use_pallas), str(engine))(
+    return _masked_fast(int(iters), bool(use_pallas), str(engine),
+                        int(block_lanes), str(solve_mode))(
         H, f, G0, T2, rmask, cmask_z, h, z0, lam0, s0)
 
 

@@ -138,6 +138,26 @@ class MPCLoop:
 # ---------------------------------------------------------------- kernels
 
 
+def parse_qp_method(qp_method: str):
+    """Split a qp_method spec into (base, fused_lanes, fused_solve).
+
+    The fused engine's compile-time knobs are threaded EXPLICITLY through
+    the method string (no environment reads on the solver path):
+      'pdip_ws_fused'            -> 128 lanes, 'trinv' solves (production)
+      'pdip_ws_fused@256'        -> 256-lane blocks
+      'pdip_ws_fused/subst'      -> serial-substitution solves
+      'pdip_ws_fused@256/subst'  -> both
+    """
+    base = qp_method
+    lanes, solve = 128, "trinv"
+    if "/" in base:
+        base, solve = base.split("/", 1)
+    if "@" in base:
+        base, lanes_s = base.split("@", 1)
+        lanes = int(lanes_s)
+    return base, lanes, solve
+
+
 def closed_loop_core(c, r, v, N, Nu, delta, lam,
                      p_max, m_max, ny, nu, with_y, rho, qp_iters,
                      qp_method="pdip", use_pallas=False):
@@ -152,6 +172,7 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                iterations, the TPU-fast path (qp_iters = ADMM iterations).
     """
     dtype = r.dtype
+    qp_method, fused_lanes, fused_solve = parse_qp_method(qp_method)
     cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
                               rho, with_y)
     nxa = c["A"].shape[0]
@@ -185,7 +206,8 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
             z, lam_w, s_w = solve_qp_masked_fast(
                 cand["H"], f, c["G0"], c["T2"], cand["rmask"],
                 cand["cmask_z"], h, qp_iters, use_pallas, ws,
-                engine="fused" if qp_method == "pdip_ws_fused" else "lanes")
+                engine="fused" if qp_method == "pdip_ws_fused" else "lanes",
+                block_lanes=fused_lanes, solve_mode=fused_solve)
             ws = (z, lam_w, s_w)
         elif qp_method == "pdip_ws":
             z, lam_w, s_w = solve_qp_masked(

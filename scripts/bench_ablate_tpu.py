@@ -75,9 +75,11 @@ def worker(name: str):
     dt = (time.perf_counter() - t0) / reps
     rec = {"variant": name, "B": B, "sims_per_s": round(B / dt, 2),
            "seconds_per_batch": round(dt, 4), **cfg}
-    if cfg["method"] == "pdip_ws_fused":
-        rec["fused_lanes"] = int(os.environ.get("MPC_FUSED_LANES", "128"))
-        rec["fused_solve"] = os.environ.get("MPC_FUSED_SOLVE", "trinv")
+    if cfg["method"].startswith("pdip_ws_fused"):
+        from mpc_tuning_tpu.sim.mpc_loop import parse_qp_method
+
+        _, rec["fused_lanes"], rec["fused_solve"] = parse_qp_method(
+            cfg["method"])
     print(json.dumps(rec))
 
 

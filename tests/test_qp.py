@@ -99,6 +99,48 @@ def test_qp_vmap_batch():
         np.testing.assert_allclose(np.asarray(zb[i]), z_ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("n,mc", [(46, 96), (23, 40)])
+def test_fused_trinv_non_power_of_two_n(n, mc):
+    """Fused whole-PDIP kernel at NON-power-of-two padded sizes: n=46 pads
+    to n_pad=48 (the Shell3x3/7x5 decision size m_max*nu+1 with nu=3) and
+    n=23 to 24.  The blocked L^{-1} doubling must clamp its trailing ragged
+    blocks instead of slicing past n_pad (regression: trace-time
+    'Out of bound slice' crash that disabled TPU tuning of the Shell cases).
+    Both solve modes must match the per-lane reference engine."""
+    from mpc_tuning_tpu.ops.qp import solve_qp_masked, solve_qp_masked_fused
+
+    rng = np.random.default_rng(n)
+    B = 4
+    A = rng.standard_normal((B, n, n))
+    H = A @ A.transpose(0, 2, 1) + n * np.eye(n)
+    f = rng.standard_normal((B, n))
+    G0 = rng.standard_normal((mc, n))
+    h = np.abs(rng.standard_normal((B, mc))) + 0.3
+    T2 = np.einsum("ki,kj->kij", G0, G0).reshape(mc, n * n)
+    rmask = (rng.uniform(size=(B, mc)) < 0.8).astype(np.float64)
+    cmask = np.ones((B, n))
+    cmask[:, n - 3:] = rng.integers(0, 2, size=(B, 3))
+    h = np.where(rmask > 0, h, 1.0)
+
+    args = [jnp.asarray(x) for x in (H, f, rmask, cmask, h)]
+    G0j, T2j = jnp.asarray(G0), jnp.asarray(T2)
+    z0 = jnp.zeros((B, n)); l0 = jnp.ones((B, mc)); s0 = jnp.ones((B, mc))
+
+    z_ref, lam_ref, s_ref = jax.vmap(
+        lambda H, f, rm, cm, h, z, l, s: solve_qp_masked(
+            H, f, G0j, T2j, rm, cm, h, iters=15, init=(z, l, s)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(*args, z0, l0, s0)
+
+    for mode in ("trinv", "subst"):
+        z, lam, s = solve_qp_masked_fused(
+            args[0], args[1], G0j, T2j, args[2], args[3], args[4],
+            15, (z0, l0, s0), solve_mode=mode)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                                   atol=1e-9, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_ref),
+                                   atol=1e-9, err_msg=mode)
+
+
 def test_qp_float32():
     rng = np.random.default_rng(5)
     H, f, G, h = _random_qp(rng, 8, 16)
