@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["spd_solve", "spd_factor", "spd_factor_solve",
-           "factor_lanes", "solve_lanes", "pdip_fused_lanes"]
+           "factor_lanes", "solve_lanes", "pdip_fused_lanes",
+           "admm_fused_lanes"]
 
 
 def _interpret() -> bool:
@@ -586,6 +587,122 @@ def pdip_fused_lanes(Hp, T2T, G0p, f_l, h_l, rmask_l, cmask_l, z0_l, lam0_l,
     )(Hp, T2T, G0p, jnp.transpose(G0p), f_l, h_l, rmask_l, cmask_l,
       z0_l, lam0_l)
     return zs, lams, ss
+
+
+# ------------------------------------------------- fused full-ADMM kernel
+#
+# One pallas_call per ADMM SOLVE (all iterations): unlike PDIP there is no
+# factorization — the per-candidate inverse Minv = (Hs + sigma I + rho
+# Gs'Gs)^{-1} is precomputed ONCE per candidate (ops/qp.admm_precompute),
+# so an iteration is only
+#   rhs = sigma x - fs + Gs'(rho zc - y)          (one MXU matmul)
+#   x   = Minv rhs                                (one lane-batched contraction)
+#   Gx  = Gs x                                    (one MXU matmul)
+#   zc  = min(relaxed Gx + y/rho, hs);  y += rho (relaxed Gx - zc)
+# — a ~6-op serial chain per iteration vs the fused PDIP's ~70 (Cholesky
+# columns + substitutions), which is why this kernel is the tracking-case
+# tuning speed path.  The equilibrated constraint matrix factorizes over
+# the shared table exactly: Gs = diag(e*rmask) G0 diag(cmask*Dinv), so the
+# matvecs ride the MXU against the SAME shared G0 as the PDIP kernels.
+# Replaces the toolbox QP of
+# /root/reference/MPC-Tuning/MPC_Tuning/closedloop_toolbox.m:50 for
+# tracking-only cases (band cases stay on PDIP — documented stall,
+# tests/test_production_qp.py).
+
+
+def _admm_fused_kernel(iters: int, sigma: float, over_relax: float,
+                       Minv_ref, G0_ref, G0T_ref, fs_ref, hs_ref,
+                       arow_ref, acol_ref, par_ref, x0_ref, zc0_ref, y0_ref,
+                       x_out, zc_out, y_out):
+    """One Bt-lane block: `iters` warm-started ADMM iterations in VMEM.
+
+    Shapes: Minv (n_pad, n_pad, Bt) per-lane inverses (identity diagonal on
+    padded rows/lanes); G0/G0T (mcp, n_pad)/(n_pad, mcp) shared; vectors
+    lane-major (rows, Bt).  par (8, Bt): row 0 = rho, row 1 = 1/rho.
+    Padded constraint rows carry arow 0 / hs 1 and zero state, padded
+    variable rows carry acol 0 / fs 0 and zero state — both stay exactly
+    zero through every iteration, so the result matches the per-lane dense
+    solver (ops/qp.solve_qp_admm) in exact arithmetic.
+    """
+    dtype = fs_ref.dtype
+    HIGH = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))
+
+    Minv = Minv_ref[...]
+    G0 = G0_ref[...]
+    G0T = G0T_ref[...]
+    fs = fs_ref[...]
+    hs = hs_ref[...]
+    arow = arow_ref[...]
+    acol = acol_ref[...]
+    rho = par_ref[0:1, :]          # (1, Bt)
+    rho_inv = par_ref[1:2, :]
+
+    def Gs(x):                      # (n_pad, Bt) -> (mcp, Bt)
+        return arow * jax.lax.dot_general(
+            G0, acol * x, dn, precision=HIGH, preferred_element_type=dtype)
+
+    def GsT(t):                     # (mcp, Bt) -> (n_pad, Bt)
+        return acol * jax.lax.dot_general(
+            G0T, arow * t, dn, precision=HIGH, preferred_element_type=dtype)
+
+    def body(_, carry):
+        x, zc, y = carry
+        rhs = sigma * x - fs + GsT(rho * zc - y)
+        x = jnp.sum(Minv * rhs[None, :, :], axis=1)
+        Gx = Gs(x)
+        Gx_r = over_relax * Gx + (1.0 - over_relax) * zc
+        z_new = jnp.minimum(Gx_r + y * rho_inv, hs)
+        y = y + rho * (Gx_r - z_new)
+        return (x, z_new, y)
+
+    x, zc, y = jax.lax.fori_loop(
+        0, iters, body, (x0_ref[...], zc0_ref[...], y0_ref[...]))
+    x_out[...] = x
+    zc_out[...] = zc
+    y_out[...] = y
+
+
+def admm_fused_lanes(Minv_t, G0p, fs_l, hs_l, arow_l, acol_l, par_l,
+                     x0_l, zc0_l, y0_l, *, iters: int, sigma: float,
+                     over_relax: float, block_lanes: int = 128):
+    """Lane-major fused ADMM over the candidate batch.
+
+    Minv_t (n_pad, n_pad, B), G0p (mcp, n_pad); vectors (rows, B) with
+    B % block_lanes == 0.  Returns (x, zc, y) lane-major (scaled coords,
+    the warm state carried across closed-loop timesteps)."""
+    n_pad, _, B = Minv_t.shape
+    mcp = G0p.shape[0]
+    dtype = fs_l.dtype
+    Bt = block_lanes
+    assert B % Bt == 0 and Bt % 128 == 0, (B, Bt)
+
+    def vec(rows):
+        return pl.BlockSpec((rows, Bt), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    shared2 = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_admm_fused_kernel, iters, sigma, over_relax),
+        grid=(B // Bt,),
+        in_specs=[
+            pl.BlockSpec((n_pad, n_pad, Bt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            shared2(mcp, n_pad),
+            shared2(n_pad, mcp),
+            vec(n_pad), vec(mcp), vec(mcp), vec(n_pad), vec(8),
+            vec(n_pad), vec(mcp), vec(mcp),
+        ],
+        out_specs=(vec(n_pad), vec(mcp), vec(mcp)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, B), dtype),
+            jax.ShapeDtypeStruct((mcp, B), dtype),
+            jax.ShapeDtypeStruct((mcp, B), dtype),
+        ),
+        interpret=_interpret(),
+    )(Minv_t, G0p, jnp.transpose(G0p), fs_l, hs_l, arow_l, acol_l, par_l,
+      x0_l, zc0_l, y0_l)
 
 
 @custom_vmap

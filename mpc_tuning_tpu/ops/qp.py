@@ -639,6 +639,125 @@ def solve_qp_admm(pre, f, h, state, iters: int, sigma: float = 1e-6,
     return x * Dinv, (x, zc, y)
 
 
+def solve_qp_admm_fused(Minv_b, rho_b, Dinv_b, e_b, f_b, h_b, rmask_b,
+                        cmask_b, G0, state_b, iters: int,
+                        sigma: float = 1e-6, over_relax: float = 1.6,
+                        block_lanes: int = 128):
+    """Explicitly-batched warm ADMM through ONE fused Pallas kernel call
+    (ops/pallas_kernels.admm_fused_lanes).  Exploits the exact
+    factorization Gs = diag(e*rmask) G0 diag(cmask*Dinv) of the
+    equilibrated constraint matrix over the shared table, so per-candidate
+    (mc, n) matrices never materialize inside the kernel.  Returns
+    (z_unscaled (B, n), new_state) matching solve_qp_admm."""
+    from mpc_tuning_tpu.ops.pallas_kernels import admm_fused_lanes
+
+    B, n = f_b.shape
+    mc = G0.shape[0]
+    dtype = f_b.dtype
+    n_pad = max(8, -(-n // 8) * 8)
+    mcp = max(8, -(-mc // 8) * 8)
+    B_pad = -(-B // block_lanes) * block_lanes
+    pb = B_pad - B
+
+    def lanes(x, fill=0.0):
+        x = x.T
+        if pb:
+            x = jnp.concatenate(
+                [x, jnp.full((x.shape[0], pb), fill, dtype)], axis=1)
+        return x
+
+    def pad_rows(x, rows, fill=0.0):
+        if x.shape[0] == rows:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((rows - x.shape[0], x.shape[1]), fill, dtype)],
+            axis=0)
+
+    fs_l = pad_rows(lanes(f_b * Dinv_b), n_pad)
+    hs_l = pad_rows(lanes(h_b * e_b, 1.0), mcp, 1.0)
+    arow_l = pad_rows(lanes(e_b * rmask_b), mcp)
+    acol_l = pad_rows(lanes(Dinv_b * cmask_b), n_pad)
+
+    Mp = jnp.zeros((B_pad, n_pad, n_pad), dtype)
+    # identity diagonal everywhere first: padded batch entries and padded
+    # rows of real entries stay nonsingular no-ops
+    Mp = Mp.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+    Mp = Mp.at[:B, :n, :n].set(Minv_b)
+    Minv_t = Mp.transpose(1, 2, 0)
+
+    G0p = jnp.zeros((mcp, n_pad), dtype).at[:mc, :n].set(G0)
+
+    rho_v = rho_b.reshape(-1).astype(dtype)
+    par_l = jnp.ones((8, B_pad), dtype)  # padded lanes keep rho = 1/rho = 1
+    par_l = par_l.at[0, :B].set(rho_v)
+    par_l = par_l.at[1, :B].set(1.0 / rho_v)
+
+    x0_b, zc0_b, y0_b = state_b
+    x0_l = pad_rows(lanes(x0_b), n_pad)
+    zc0_l = pad_rows(lanes(zc0_b), mcp)
+    y0_l = pad_rows(lanes(y0_b), mcp)
+
+    x, zc, y = admm_fused_lanes(
+        Minv_t, G0p, fs_l, hs_l, arow_l, acol_l, par_l, x0_l, zc0_l, y0_l,
+        iters=int(iters), sigma=float(sigma), over_relax=float(over_relax),
+        block_lanes=block_lanes)
+    x_b = x[:n, :B].T
+    z_un = x_b * Dinv_b
+    return z_un, (x_b, zc[:mc, :B].T, y[:mc, :B].T)
+
+
+@functools.lru_cache(maxsize=None)
+def _admm_fast(iters: int, sigma: float, over_relax: float,
+               block_lanes: int):
+    """custom_vmap wrapper for warm ADMM: per-lane calls run the dense
+    solve_qp_admm; the candidate-batched call (the tracking-case tuning hot
+    path) runs the whole iteration loop in ONE fused Pallas kernel."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def fast(Minv, rho, Dinv, e, f, h, rmask, cmask_z, G0, x0, zc0, y0):
+        Gs = (e * rmask)[:, None] * G0 * (cmask_z * Dinv)[None, :]
+        pre = {"Minv": Minv, "rho": rho, "Dinv": Dinv, "e": e, "Gs": Gs}
+        z, (x, zc, y) = solve_qp_admm(pre, f, h, (x0, zc0, y0), iters,
+                                      sigma=sigma, over_relax=over_relax)
+        return z, x, zc, y
+
+    @fast.def_vmap
+    def _rule(axis_size, in_batched, Minv, rho, Dinv, e, f, h, rmask,
+              cmask_z, G0, x0, zc0, y0):
+        assert not in_batched[8], "G0 is a shared constant"
+
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        (Minv, rho, Dinv, e, f, h, rmask, cmask_z, x0, zc0, y0) = [
+            bcast(a, b) for a, b in zip(
+                (Minv, rho, Dinv, e, f, h, rmask, cmask_z, x0, zc0, y0),
+                in_batched[:8] + in_batched[9:])]
+        z, (x, zc, y) = solve_qp_admm_fused(
+            Minv, rho, Dinv, e, f, h, rmask, cmask_z, G0, (x0, zc0, y0),
+            iters, sigma=sigma, over_relax=over_relax,
+            block_lanes=block_lanes)
+        return (z, x, zc, y), (True, True, True, True)
+
+    return fast
+
+
+def solve_qp_admm_fast(pre, f, h, rmask, cmask_z, G0, state, iters: int,
+                       sigma: float = 1e-6, over_relax: float = 1.6,
+                       block_lanes: int = 128):
+    """Warm ADMM that auto-switches to the fused lane-major Pallas kernel
+    under vmap (the tracking-case closed-loop tuning path).  ``pre`` is the
+    admm_precompute dict; only its Minv/rho/Dinv/e enter (Gs is
+    reconstructed from the shared G0 + masks).  Returns (z, new_state)."""
+    x0, zc0, y0 = state
+    z, x, zc, y = _admm_fast(int(iters), float(sigma), float(over_relax),
+                             int(block_lanes))(
+        pre["Minv"], pre["rho"], pre["Dinv"], pre["e"], f, h, rmask,
+        cmask_z, G0, x0, zc0, y0)
+    return z, (x, zc, y)
+
+
 def qp_kkt_residuals(H, f, G, h, z, lam, s):
     """Diagnostics: (stationarity, primal, complementarity) residual norms."""
     r_d = H @ z + f + G.T @ lam

@@ -32,7 +32,8 @@ from mpc_tuning_tpu.ops.mpc_qp import (
     qp_step_data,
 )
 from mpc_tuning_tpu.ops.qp import (
-    solve_qp, solve_qp_admm, solve_qp_masked, solve_qp_masked_fast)
+    solve_qp, solve_qp_admm, solve_qp_admm_fast, solve_qp_masked,
+    solve_qp_masked_fast)
 
 __all__ = ["MPCLoop"]
 
@@ -196,6 +197,13 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                                p_max, m_max, ny, nu, with_y)
         if qp_method == "admm":
             z, ws = solve_qp_admm(cand["admm"], f, h, ws, iters=qp_iters)
+        elif qp_method == "admm_fused":
+            # warm ADMM with ALL iterations in ONE Pallas kernel call per
+            # step (ops/pallas_kernels.admm_fused_lanes) — the tracking-case
+            # tuning speed path (band cases stay on PDIP)
+            z, ws = solve_qp_admm_fast(
+                cand["admm"], f, h, cand["rmask"], cand["cmask_z"], c["G0"],
+                ws, qp_iters, block_lanes=fused_lanes)
         elif qp_method in ("pdip_ws_lanes", "pdip_ws_fused"):
             # warm-started PDIP through the lane-major batched engine: under
             # vmap over candidates the custom_vmap rule runs the whole

@@ -29,6 +29,11 @@ VARIANTS = {
     "pallas5": dict(method="pdip_ws", pallas=True, iters=5, prec="highest"),
     "default_mm": dict(method="pdip_ws", pallas=True, iters=15, prec="default"),
     "admm40": dict(method="admm", pallas=False, iters=40, prec="highest"),
+    "admm40_fused": dict(method="admm_fused", pallas=True, iters=40, prec="highest"),
+    "admm60_fused": dict(method="admm_fused", pallas=True, iters=60, prec="highest"),
+    "admm40_fused256": dict(method="admm_fused@256", pallas=True, iters=40, prec="highest"),
+    "admm40_fused512": dict(method="admm_fused@512", pallas=True, iters=40, prec="highest"),
+    "admm80_fused": dict(method="admm_fused", pallas=True, iters=80, prec="highest"),
 }
 
 
@@ -75,7 +80,7 @@ def worker(name: str):
     dt = (time.perf_counter() - t0) / reps
     rec = {"variant": name, "B": B, "sims_per_s": round(B / dt, 2),
            "seconds_per_batch": round(dt, 4), **cfg}
-    if cfg["method"].startswith("pdip_ws_fused"):
+    if "fused" in cfg["method"]:
         from mpc_tuning_tpu.sim.mpc_loop import parse_qp_method
 
         _, rec["fused_lanes"], rec["fused_solve"] = parse_qp_method(

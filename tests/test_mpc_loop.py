@@ -114,6 +114,28 @@ def test_rate_and_amplitude_constraints_respected():
     assert np.any(np.abs(du) > 0.05 / Ru - 1e-4)
 
 
+def test_no_preview_non_anticipatory():
+    """sim()-semantics pin (PARITY.md 'preview question'): the reference's
+    active path holds r/v constant over the horizon (the author's
+    equivalent manual loop passes single rows to mpcmove,
+    closedloop_toolbox.m:72), so the closed loop must NOT move before the
+    first nonzero setpoint sample reaches the controller.  A previewing
+    controller acts up to p steps early (measured |dU| = 0.88 on this
+    exact setup) — this test discriminates the two semantics."""
+    loop, L, _ = _wb_loop()
+    nit = 60
+    kstep = 25
+    r = np.zeros((nit, 2))
+    r[kstep:, 0] = (L @ [0.8, 0.0])[0]
+    v = np.zeros((nit, 1))
+    y, u = loop.simulate(r, v, nit, 20, 4, [1.0, 1.0], [0.1, 0.1])
+    # PDIP returns denormal-level (~1e-46) residue on the all-zero QP; a
+    # previewing controller would act at ~1e-1 up to p steps early
+    assert np.abs(u[:kstep]).max() < 1e-20
+    assert np.abs(y[: kstep + 1]).max() < 1e-20  # y(k) measured before u(k) acts
+    assert np.abs(u[kstep]).max() > 1e-3  # and it does move AT the step
+
+
 def test_open_loop_matches_closed_loop_good_horizons():
     # WoodBerry.m:186-232: with generous horizons the single-shot optimal
     # sequence played out should nearly coincide with the receding-horizon

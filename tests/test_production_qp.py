@@ -150,6 +150,33 @@ def test_fused_engine_matches_pdip_ws_closed_loop():
     assert np.abs(np.asarray(u1) - np.asarray(u2)).max() < 1e-10
 
 
+def test_admm_fused_matches_admm_closed_loop():
+    """The fused whole-ADMM Pallas kernel (qp_method='admm_fused': all warm
+    iterations of every candidate block in ONE kernel call per step) must
+    reproduce the per-lane dense ADMM over a candidate-batched constrained
+    closed loop (interpret mode on CPU; exact Gs factorization over the
+    shared G0 table)."""
+    import jax.numpy as jnp
+
+    _, problem = _wb_problem()
+    loop = problem.loop
+    nitt = 120
+    B = 3
+    r_b = np.broadcast_to(problem.r[:nitt], (B, nitt, 2))
+    N_b = np.array([20, 16, 24])
+    Nu_b = np.array([4, 3, 5])
+    d_b = np.tile(DELTA, (B, 1))
+    l_b = np.tile(LAM, (B, 1))
+    y1, u1 = loop.closed_batch(r_b, problem.v, N_b, Nu_b, d_b, l_b, nitt,
+                               jnp.float64, 40, qp_method="admm",
+                               use_pallas=False)
+    y2, u2 = loop.closed_batch(r_b, problem.v, N_b, Nu_b, d_b, l_b, nitt,
+                               jnp.float64, 40, qp_method="admm_fused",
+                               use_pallas=True)
+    assert np.abs(np.asarray(y1) - np.asarray(y2)).max() < 1e-12
+    assert np.abs(np.asarray(u1) - np.asarray(u2)).max() < 1e-12
+
+
 def _shell7x5_qp(scale_state: float = 1.0):
     """An MPC-shaped QP with ECR slack + soft band rows (Shell7x5 shape)."""
     from mpc_tuning_tpu.cases import shell7x5
