@@ -1,16 +1,29 @@
-"""Headline benchmark: batched closed-loop GPC/MPC tuning simulations/s,
-plus the full BASELINE.md metric set (QP solves/s/chip, single-QP p50
-latency, estimated MFU).
+"""Headline benchmark: batched closed-loop MPC tuning simulations/s on the
+PRODUCTION engine policy, plus the full BASELINE.md metric set (closed-loop
+GPC solves/s/chip, band-case and NMPC engine rows, single-QP p50 latency,
+estimated MFU).
 
-Workload = the inner loop of the hybrid tuner at REAL tuning shapes:
-Wood-Berry 2x2 constrained MPC, nit=400 steps, p_max=127 / m_max=15
-(nbp=7 / nbc=4 bit-widths), f32, warm-started 15-iteration PDIP per step —
-one lane per tuning candidate, vmapped, on whatever accelerator JAX
-exposes.
+Headline workload = the inner loop of the hybrid tuner at REAL tuning
+shapes: Wood-Berry 2x2 constrained MPC, nit=400 steps, p_max=127 /
+m_max=15 (nbp=7 / nbc=4 bit-widths), f32 — one lane per tuning candidate,
+vmapped.  Engine = the VNS-stage production pick of
+tuning.objectives.resolve_qp_method ('auto'): on TPU the fused whole-ADMM
+Pallas kernel (40 warm iterations in ONE kernel call per step;
+decision-level accuracy qualification in
+checkpoints/qp_engine_qualification.json — zero pairwise ranking flips vs
+the f64 PDIP truth on the WB and Shell3x3 candidate grids).
+
+Extra rows (detail.extra_metrics):
+  * wb_gam_pdip_fused     — the GAM-stage engine (fused whole-PDIP kernel)
+  * shell7x5_band         — band-control case (mc=601 rows, always PDIP)
+  * vdv_nmpc              — nonlinear SQP engine (closedloop_toolbox_nmpc
+                            equivalent workload)
+  * dtc_gpc               — DTC-GPC recursive scan engine (the literal
+                            "closed-loop GPC solves/s/chip" of BASELINE.md)
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sims/s", "vs_baseline": N/10000,
-   "detail": {... qp_solves_per_s, qp_p50_us, est_mfu_pct ...}}
+   "detail": {...}}
 Baseline: >= 10,000 batched closed-loop GPC tuning sims/s on v5p-16
 (BASELINE.md; this machine exposes ONE v5-lite chip).
 """
@@ -24,26 +37,180 @@ import time
 import numpy as np
 
 NIT = 400
-QP_ITERS = int(os.environ.get("BENCH_QP_ITERS", "15"))
-# production tuning engine: the fused whole-PDIP Pallas kernel
-# (ops/pallas_kernels.pdip_fused_lanes); override with BENCH_METHOD
-QP_METHOD = os.environ.get("BENCH_METHOD", "pdip_ws_fused")
 
 
-def _flops_per_sim(d, qp_iters=QP_ITERS):
-    """Analytic FLOPs of one closed-loop sim (dominant interior-point
-    terms): normal-matrix matmul (w@T2), Cholesky, triangular solves,
-    masked G products, free-response contraction."""
+def _flops_per_sim_pdip(d, iters, nit=NIT):
+    """Dominant interior-point terms per closed-loop sim."""
     n = d["m_max"] * d["nu"] + 1
-    mc = 4 * d["m_max"] * d["nu"] + 1  # Wood-Berry: no output rows
+    mc_rows = 4 * d["m_max"] * d["nu"] + 1
+    if d["with_y"]:
+        mc_rows += 2 * d["p_max"] * d["ny"]
     per_iter = (
-        2 * mc * n * n          # (w @ T2) -> (n, n)
-        + n ** 3 / 3            # Cholesky
-        + 4 * n * n             # 4 triangular solves
-        + 8 * mc * n            # Gmat/GTmat matvecs
+        2 * mc_rows * n * n      # (w @ T2) normal-matrix matmul
+        + n ** 3 / 3             # Cholesky
+        + 4 * n * n              # triangular solves
+        + 8 * mc_rows * n        # G products
     )
-    per_step = qp_iters * per_iter + 2 * d["p_max"] * d["ny"] * n
-    return per_step * NIT
+    per_step = iters * per_iter + 2 * d["p_max"] * d["ny"] * n
+    return per_step * nit
+
+
+def _flops_per_sim_admm(d, iters, nit=NIT):
+    """Dominant warm-ADMM terms per closed-loop sim (no factorization:
+    Minv is precomputed once per candidate)."""
+    n = d["m_max"] * d["nu"] + 1
+    mc_rows = 4 * d["m_max"] * d["nu"] + 1
+    if d["with_y"]:
+        mc_rows += 2 * d["p_max"] * d["ny"]
+    per_iter = 4 * mc_rows * n + 2 * n * n + 8 * mc_rows
+    per_step = iters * per_iter + 2 * d["p_max"] * d["ny"] * n
+    return per_step * nit
+
+
+def _sync(x):
+    """Force full execution + device->host sync (block_until_ready alone
+    does not synchronize on the axon tunnel backend)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def _time_reps(fn, reps=3):
+    fn()  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn()
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_wb(problem, B, method, iters, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_tuning_tpu.sim.mpc_loop import closed_loop_batch
+
+    loop = problem.loop
+    c = loop.arrays(dtype)
+    d = loop.dims
+    rng = np.random.default_rng(0)
+    ny = d["ny"]
+    r_b = jnp.asarray(
+        np.broadcast_to(problem.r[:NIT], (B, NIT, ny)), dtype)
+    v = jnp.asarray(problem.v[:NIT], dtype)
+    N_b = jnp.asarray(rng.integers(16, 64, size=B))
+    Nu_b = jnp.asarray(rng.integers(2, 7, size=B))
+    delta_b = jnp.asarray(rng.uniform(0.2, 2.0, size=(B, ny)), dtype)
+    lam_b = jnp.asarray(rng.uniform(0.01, 0.5, size=(B, d["nu"])), dtype)
+    statics = (d["p_max"], d["m_max"], ny, d["nu"], d["with_y"], d["rho"],
+               iters)
+
+    on_tpu = jax.default_backend() != "cpu"
+
+    def run():
+        with jax.default_matmul_precision("highest"):
+            Y, _ = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
+                                     *statics, method, on_tpu)
+        return _sync(Y)
+
+    dt = _time_reps(run)
+    return B / dt, dt, d
+
+
+def bench_shell7x5(B, iters, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_tuning_tpu.cases import shell7x5
+    from mpc_tuning_tpu.cases.cross_eval import REF_TUNED
+    from mpc_tuning_tpu.sim.mpc_loop import closed_loop_batch
+    from mpc_tuning_tpu.tuning.api import build_problem
+
+    ref = REF_TUNED["Shell7x5"]
+    case = shell7x5.make_case()
+    problem, _ = build_problem(case, dtype=dtype,
+                               L=np.diag(ref.L), R=np.diag(ref.R))
+    loop = problem.loop
+    c = loop.arrays(dtype)
+    d = loop.dims
+    nit = case.nit
+    rng = np.random.default_rng(1)
+    B = int(B)
+    r_b = jnp.asarray(np.broadcast_to(problem.r[:nit], (B, nit, 7)), dtype)
+    v = jnp.asarray(problem.v[:nit], dtype)
+    N_b = jnp.asarray(rng.integers(8, 40, size=B))
+    Nu_b = jnp.asarray(rng.integers(2, 5, size=B))
+    delta_b = jnp.asarray(np.broadcast_to(ref.delta, (B, 7)), dtype)
+    lam_b = jnp.asarray(rng.uniform(0.02, 2.0, size=(B, 3)), dtype)
+    statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
+               d["rho"], iters)
+
+    on_tpu = jax.default_backend() != "cpu"
+    band_method = "pdip_ws_fused" if on_tpu else "pdip_ws"
+
+    def run():
+        with jax.default_matmul_precision("highest"):
+            Y, _ = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
+                                     *statics, band_method, on_tpu)
+        return _sync(Y)
+
+    dt = _time_reps(run)
+    return B / dt, nit, band_method
+
+
+def bench_vdv(B, dtype):
+    import jax.numpy as jnp
+
+    from mpc_tuning_tpu.cases import vandevusse
+
+    case = vandevusse.make_case()
+    problem = vandevusse.build_problem(case, dtype=dtype)
+    nit = case.nit
+    rng = np.random.default_rng(2)
+    B = int(B)
+    r_b = np.broadcast_to(problem.r[:nit], (B, nit, 2))
+    N_b = rng.integers(3, 12, size=B)
+    Nu_b = rng.integers(2, 3, size=B)
+    d_b = np.broadcast_to([0.0930, 0.1133], (B, 2))
+    l_b = np.broadcast_to([0.2460, 0.1231], (B, 2))
+
+    def run():
+        Y, _ = problem.loop.closed_batch(
+            jnp.asarray(r_b, dtype), problem.v, jnp.asarray(N_b),
+            jnp.asarray(Nu_b), jnp.asarray(d_b, dtype),
+            jnp.asarray(l_b, dtype), nit, dtype, case.spec.qp_iters)
+        return _sync(Y)
+
+    dt = _time_reps(run)
+    return B / dt, nit
+
+
+def bench_dtc_gpc(B, dtype):
+    from mpc_tuning_tpu.models import plants
+    from mpc_tuning_tpu.ops import condmin as cm
+    from mpc_tuning_tpu.sim.gpc_loop import DTCGPC
+
+    plant = plants.wood_berry()
+    L, R, _ = cm.condmin(plant.G.dcgain())
+    ctl = DTCGPC.build(plant=plant.G, model=plant.G, Ts=1.0,
+                       p=np.array([3, 3]), m=np.array([3, 3]),
+                       delta=np.array([1.0, 1.0]), lam=np.array([1.0, 1.0]),
+                       L=L, R=R, n_md=1, disturbance=plant.D)
+    nit = NIT
+    B = int(B)
+    r = np.zeros((nit, 2))
+    r[10:, 0] = 0.8
+    r[200:, 1] = 0.5
+    q = np.zeros((nit, 1))
+    q[300:, 0] = -0.25
+    r_b = np.broadcast_to(r, (B, nit, 2))
+    q_b = np.broadcast_to(q, (B, nit, 1))
+
+    def run():
+        Y, _ = ctl.simulate_scan_batch(r_b, q_b, nit, dtype=dtype)
+        return _sync(Y)
+
+    dt = _time_reps(run)
+    return B / dt, nit
 
 
 def main():
@@ -53,66 +220,98 @@ def main():
     from mpc_tuning_tpu.cases import woodberry
     from mpc_tuning_tpu.ops.mpc_qp import assemble_candidate, qp_step_data
     from mpc_tuning_tpu.ops.qp import solve_qp_masked
-    from mpc_tuning_tpu.sim.mpc_loop import closed_loop_batch
     from mpc_tuning_tpu.tuning.api import build_problem
+    from mpc_tuning_tpu.tuning.objectives import resolve_qp_method
 
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() != "cpu"
-    B = int(os.environ.get("BENCH_BATCH", "2048" if on_tpu else "64"))
-    use_pallas = on_tpu
+    dtype = jnp.float32
+    B = int(os.environ.get("BENCH_BATCH", "8192" if on_tpu else "64"))
 
-    case = woodberry.make_case(nit=NIT)  # nbp=7, nbc=4 -> p_max=127, m_max=15
-    problem, _ = build_problem(case, dtype=jnp.float32, qp_iters=QP_ITERS)
+    # production VNS-stage engine (tracking): fused whole-ADMM on TPU
+    method = os.environ.get(
+        "BENCH_METHOD", resolve_qp_method("auto", band=False, stage="vns"))
+    is_admm = method.split("@")[0].split("/")[0] in ("admm", "admm_fused")
+    iters = int(os.environ.get("BENCH_QP_ITERS", "40" if is_admm else "15"))
+
+    case = woodberry.make_case(nit=NIT)  # nbp=7, nbc=4 -> p_max=127
+    problem, _ = build_problem(case, dtype=dtype, qp_iters=iters)
+
+    sims_per_s, dt, d = bench_wb(problem, B, method, iters, dtype)
+
+    # ---- GAM-stage engine row (fused whole-PDIP, 15 warm iters)
+    extra = []
+    try:
+        gam_iters = 15
+        gB = min(B, 2048) if on_tpu else 8
+        gam_method = "pdip_ws_fused" if on_tpu else "pdip_ws"
+        g_sims, _, _ = bench_wb(problem, gB, gam_method,
+                                gam_iters, dtype)
+        extra.append({"metric": "wb_gam_pdip_fused_sims_per_s",
+                      "value": round(g_sims, 2), "unit": "sims/s",
+                      "qp_iters": gam_iters, "batch": gB})
+    except Exception as exc:  # pragma: no cover - bench resilience
+        extra.append({"metric": "wb_gam_pdip_fused_sims_per_s",
+                      "error": repr(exc)[:200]})
+
+    # ---- band-control row (Shell7x5: mc=601 rows incl. soft bands + ECR)
+    try:
+        sB = 256 if on_tpu else 2
+        s_sims, s_nit, s_meth = bench_shell7x5(sB, 60, dtype)
+        extra.append({"metric": "shell7x5_band_closedloop_sims_per_s",
+                      "value": round(s_sims, 2), "unit": "sims/s",
+                      "qp_method": s_meth, "qp_iters": 60,
+                      "nit": s_nit, "batch": sB,
+                      "qp_solves_per_s_chip": round(s_sims * s_nit)})
+    except Exception as exc:
+        extra.append({"metric": "shell7x5_band_closedloop_sims_per_s",
+                      "error": repr(exc)[:200]})
+
+    # ---- nonlinear engine row (Van de Vusse SQP NMPC)
+    try:
+        vB = 256 if on_tpu else 2
+        v_sims, v_nit = bench_vdv(vB, dtype)
+        extra.append({"metric": "vdv_nmpc_sims_per_s",
+                      "value": round(v_sims, 2), "unit": "sims/s",
+                      "nit": v_nit, "batch": vB,
+                      "nlp_solves_per_s_chip": round(v_sims * v_nit)})
+    except Exception as exc:
+        extra.append({"metric": "vdv_nmpc_sims_per_s",
+                      "error": repr(exc)[:200]})
+
+    # ---- DTC-GPC scan row (the literal closed-loop GPC engine)
+    try:
+        gpcB = 1024 if on_tpu else 8
+        gpc_sims, gpc_nit = bench_dtc_gpc(gpcB, dtype)
+        extra.append({"metric": "dtc_gpc_closedloop_sims_per_s",
+                      "value": round(gpc_sims, 2), "unit": "sims/s",
+                      "nit": gpc_nit, "batch": gpcB,
+                      "gpc_solves_per_s_chip": round(gpc_sims * gpc_nit)})
+    except Exception as exc:
+        extra.append({"metric": "dtc_gpc_closedloop_sims_per_s",
+                      "error": repr(exc)[:200]})
+
+    # ---- single-QP p50 latency (warm-started masked PDIP solve, B=1)
     loop = problem.loop
-    c = loop.arrays(jnp.float32)
-    d = loop.dims
-
-    rng = np.random.default_rng(0)
-    r_b = jnp.asarray(np.broadcast_to(problem.r[:NIT], (B, NIT, 2)), jnp.float32)
-    v = jnp.asarray(problem.v[:NIT], jnp.float32)
-    N_b = jnp.asarray(rng.integers(16, 64, size=B))
-    Nu_b = jnp.asarray(rng.integers(2, 7, size=B))
-    delta_b = jnp.asarray(rng.uniform(0.2, 2.0, size=(B, 2)), jnp.float32)
-    lam_b = jnp.asarray(rng.uniform(0.01, 0.5, size=(B, 2)), jnp.float32)
-
-    statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
-               QP_ITERS)
-
-    def run():
-        with jax.default_matmul_precision("highest"):
-            Y, U = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
-                                     *statics, QP_METHOD, use_pallas)
-        # force full execution + device->host sync (block_until_ready alone
-        # does not synchronize on the axon tunnel backend)
-        return float(jnp.sum(Y))
-
-    run()  # compile + warmup
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        run()
-    dt = (time.perf_counter() - t0) / reps
-    sims_per_s = B / dt
-
-    # ---- single-QP p50 latency (warm-started masked solve, B=1)
+    c = loop.arrays(dtype)
     cand = assemble_candidate(c, jnp.asarray(20), jnp.asarray(4),
-                              jnp.asarray([1.0, 1.0], jnp.float32),
-                              jnp.asarray([0.1, 0.1], jnp.float32),
+                              jnp.asarray([1.0, 1.0], dtype),
+                              jnp.asarray([0.1, 0.1], dtype),
                               d["p_max"], d["m_max"], d["ny"], d["nu"],
                               d["rho"], d["with_y"])
     nxa = c["A"].shape[0]
-    f1, h1, _ = qp_step_data(c, cand, jnp.zeros(nxa, jnp.float32),
-                             jnp.zeros(2, jnp.float32),
-                             jnp.asarray(problem.r[10], jnp.float32),
-                             jnp.zeros(1, jnp.float32),
+    f1, h1, _ = qp_step_data(c, cand, jnp.zeros(nxa, dtype),
+                             jnp.zeros(2, dtype),
+                             jnp.asarray(problem.r[10], dtype),
+                             jnp.zeros(1, dtype),
                              d["p_max"], d["m_max"], d["ny"], d["nu"],
                              d["with_y"])
 
     def qsolve():
         z, _, _ = solve_qp_masked(cand["H"], f1, c["G0"], c["T2"],
                                   cand["rmask"], cand["cmask_z"], h1,
-                                  iters=QP_ITERS)
-        return float(jnp.sum(z))
+                                  iters=15)
+        return _sync(z)
 
     qsolve()
     lat = []
@@ -122,9 +321,10 @@ def main():
         lat.append(time.perf_counter() - t0)
     qp_p50_us = 1e6 * float(np.median(lat))
 
-    # ---- derived metrics
+    # ---- derived metrics (engine-correct FLOPs model, est only)
     qp_solves_per_s = sims_per_s * NIT
-    fl = _flops_per_sim(d)
+    fl = (_flops_per_sim_admm(d, iters) if is_admm
+          else _flops_per_sim_pdip(d, iters))
     # v5e peak: 197 TFLOP/s bf16; f32-'highest' (6-pass) effective ~ /4
     peak = 197e12 / 4 if on_tpu else 1e12
     est_mfu_pct = 100.0 * fl * sims_per_s / peak
@@ -137,9 +337,12 @@ def main():
         "detail": {
             "device": str(dev), "batch": B, "nit": NIT,
             "p_max": d["p_max"], "m_max": d["m_max"],
-            "qp_iters": QP_ITERS, "qp_method": QP_METHOD, "dtype": "float32",
-            "qp_kernel": "pallas" if use_pallas else "xla",
+            "qp_iters": iters, "qp_method": method, "dtype": "float32",
             "matmul_precision": "highest",
+            "engine_policy": "production auto: VNS tracking = fused "
+                             "whole-ADMM (qualification: checkpoints/"
+                             "qp_engine_qualification.json); GAM + band "
+                             "cases = fused whole-PDIP",
             "seconds_per_batch": round(dt, 4),
             "qp_solves_per_s_chip": round(qp_solves_per_s, 0),
             "qp_p50_latency_us": round(qp_p50_us, 1),
@@ -148,7 +351,9 @@ def main():
             # the batched-path per-QP cost is 1/qp_solves_per_s_chip.
             "qp_p50_includes_dispatch_rtt": True,
             "est_flops_per_sim": round(fl),
+            "flops_model": "admm" if is_admm else "pdip",
             "est_mfu_pct": round(est_mfu_pct, 2),
+            "extra_metrics": extra,
         },
     }))
 

@@ -24,6 +24,12 @@ def run_main(argv=None):
     ap.add_argument("--nbc", type=int, default=None)
     ap.add_argument("--budget", choices=["small", "full"], default="small")
     ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--state-path", default=None,
+                    help="tuning-state JSON for mid-run checkpointing "
+                         "(default: <checkpoint-dir>/<case>_tuning_state.json)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a killed run from the state file; "
+                         "reproduces the uninterrupted result exactly")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -47,11 +53,20 @@ def run_main(argv=None):
     if args.nbc:
         kw["nbc"] = args.nbc
 
+    state_path = args.state_path
+    if state_path is None and args.checkpoint_dir:
+        import os
+
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        state_path = os.path.join(args.checkpoint_dir,
+                                  f"{args.case}_tuning_state.json")
+
     if args.case == "vandevusse":
         from mpc_tuning_tpu.cases import vandevusse
 
         case, res, (y, u) = vandevusse.run(
             checkpoint_dir=args.checkpoint_dir, dtype=dtype, **budget,
+            state_path=state_path, resume=args.resume,
             **({"nit": args.nit} if args.nit else {}),
         )
         out = dict(case=args.case, **{k: (v.tolist() if isinstance(v, np.ndarray) else v)
@@ -67,7 +82,8 @@ def run_main(argv=None):
         if args.case == "shell7x5":
             tkw["qp_iters"] = 60
         res = mpc_tuning(case, dtype=dtype,
-                         checkpoint_dir=args.checkpoint_dir, **tkw)
+                         checkpoint_dir=args.checkpoint_dir,
+                         state_path=state_path, resume=args.resume, **tkw)
         out = dict(case=args.case, N=res.N, Nu=res.Nu.tolist(),
                    delta=res.delta.tolist(), lam=res.lam.tolist(),
                    Fvns=res.Fvns, Fgam=res.Fgam, checkpoint=res.checkpoint)

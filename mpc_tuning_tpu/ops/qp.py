@@ -469,6 +469,8 @@ def solve_qp_masked_fused(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
     dtype = f_b.dtype
     n_pad = max(8, -(-n // 8) * 8)
     mcp = max(8, -(-mc // 8) * 8)
+    # small batches run one right-sized block (see solve_qp_admm_fused)
+    block_lanes = min(block_lanes, -(-B // 128) * 128)
     B_pad = -(-B // block_lanes) * block_lanes
     pb = B_pad - B
 
@@ -656,6 +658,10 @@ def solve_qp_admm_fused(Minv_b, rho_b, Dinv_b, e_b, f_b, h_b, rmask_b,
     dtype = f_b.dtype
     n_pad = max(8, -(-n // 8) * 8)
     mcp = max(8, -(-mc // 8) * 8)
+    # clamp the block to the padded batch: small batches (VNS neighborhoods
+    # are ~30-130 lanes) run one right-sized block instead of padding to a
+    # full 512-lane block
+    block_lanes = min(block_lanes, -(-B // 128) * 128)
     B_pad = -(-B // block_lanes) * block_lanes
     pb = B_pad - B
 

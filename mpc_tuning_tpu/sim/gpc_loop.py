@@ -230,9 +230,34 @@ class DTCGPC:
                           self.n_mv, self.L.shape[0])
         return np.asarray(y), np.asarray(u)
 
+    def simulate_scan_batch(self, r_b: np.ndarray, q_b: np.ndarray, nit: int,
+                            dtype=jnp.float64):
+        """Batched scan: one lane per (setpoint, disturbance) scenario —
+        the production scenario-sweep / on-chip benchmark path.  r_b
+        (B, nit, ny), q_b (B, nit, nq).  Returns device arrays (B, nit, *)."""
+        c = self.scan_constants(dtype)
+        rj = jnp.asarray(r_b[:, :nit], dtype=dtype)
+        qj = jnp.asarray(q_b[:, :nit], dtype=dtype)
+        return _scan_batch(c, rj, qj, self.yd_width,
+                           int(np.sum(self.mats.duM)), self.n_mv,
+                           self.L.shape[0])
+
+
+def _scan_batch_impl(c, r, q, yd_width, up_len, nu, ny):
+    return jax.vmap(
+        lambda rb, qb: _scan_core(c, rb, qb, yd_width, up_len, nu, ny)
+    )(r, q)
+
+
+_scan_batch = partial(jax.jit, static_argnums=(3, 4, 5, 6))(_scan_batch_impl)
+
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _scan_impl(c, r, q, yd_width, up_len, nu, ny):
+    return _scan_core(c, r, q, yd_width, up_len, nu, ny)
+
+
+def _scan_core(c, r, q, yd_width, up_len, nu, ny):
     dtype = r.dtype
     nx_pl = c["A_pl"].shape[0]
     nx_m = c["A_m"].shape[0]

@@ -313,17 +313,36 @@ def mpc_tuning(
     verbose: bool = True,
     L=None,
     R=None,
+    state_path: str | None = None,
+    resume: bool = False,
 ) -> TuningResult:
     """L/R override pins the conditioning scale (e.g. the reference's
-    committed L/R for frame-identical tuning-outcome parity runs)."""
+    committed L/R for frame-identical tuning-outcome parity runs).
+
+    ``state_path``/``resume``: mid-run checkpointing — the tuning state is
+    persisted after every GAM<->VNS alternation and a killed run continues
+    from the file, reproducing the uninterrupted result exactly
+    (hybrid_tune; the reference's only reload path is the final .mat,
+    WoodBerry.m:163-178 — mid-run resume is the TPU framework's aux
+    feature, SURVEY.md section 5).  When ``state_path`` is None but a
+    checkpoint_dir is given, the state goes to
+    <checkpoint_dir>/<case>_tuning_state.json."""
     problem, (L, R, Ru, Rv, S, cond_before) = build_problem(
         case, dtype, qp_iters, L=L, R=R)
     x0 = np.concatenate([case.ov_weight0, case.mvrate_weight0])
+
+    if state_path is None and checkpoint_dir is not None:
+        import os as _os
+
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        state_path = _os.path.join(checkpoint_dir,
+                                   f"{case.name}_tuning_state.json")
 
     best, delta, lam, Fva, Fvf, history = hybrid_tune(
         problem, case.nbp, case.nbc, x0,
         gam_popsize=gam_popsize, gam_generations=gam_generations,
         max_alternations=max_alternations, seed=seed, verbose=verbose,
+        state_path=state_path, resume=resume,
     )
 
     final_delta, final_lam = delta, lam

@@ -73,8 +73,11 @@ def gam_solve(
     eig_B, eig_D = np.eye(n), np.ones(n)
 
     for gen in range(generations):
-        # sample population (include the incumbent mean as one lane)
+        # sample population; lane 0 is the incumbent mean itself (elitist
+        # evaluation lane — the mean is the recombination point CMA steers
+        # toward but never scores without this)
         Z = rng.standard_normal((popsize, n))
+        Z[0] = 0.0
         Ymut = y_mean[None, :] + sigma * (Z * eig_D[None, :]) @ eig_B.T
         X = np.exp(Ymut)
         X = np.maximum(X, lb)

@@ -30,15 +30,36 @@ __all__ = ["TuningProblem", "gam_sse_batch", "vns_objective_batch",
            "resolve_qp_method"]
 
 
-def resolve_qp_method(method: str) -> str:
-    """'auto' -> the fastest engine for the active backend (see
-    TuningProblem.qp_method); explicit names pass through."""
+def resolve_qp_method(method: str, band: bool = False,
+                      stage: str = "gam") -> str:
+    """'auto' -> the fastest ACCURACY-QUALIFIED engine for the active
+    backend and tuning stage; explicit names pass through.
+
+    Qualification evidence (checkpoints/qp_engine_qualification.json,
+    scripts/qualify_engines.py):
+      * VNS stage, tracking cases: warm 40-iter ADMM preserves the argmin
+        and flips pairwise orderings only at near-tie gaps on the WB and
+        Shell3x3 candidate grids -> the fused whole-ADMM Pallas kernel
+        ('admm_fused@512', 14,070 sims/s vs fused PDIP's 1,690 on one
+        v5e chip, checkpoints/bench_ablate.jsonl) is the TPU VNS engine;
+        block lanes clamp to the padded batch for small neighborhoods.
+      * GAM stage: ADMM rank-flips at large gaps on extreme weight
+        vectors -> stays on the fused PDIP.
+      * Band cases (zero OV weights, Shell7x5): ADMM stalls on the ECR
+        band QP (tests/test_production_qp.py) -> always PDIP.
+      * Reduced-iteration warm PDIP: DISQUALIFIED (pdip_ws12 explodes
+        ~1e6 relative on a Shell3x3 grid candidate).
+    CPU keeps the lane-major jnp engine everywhere (f64 evaluation grade —
+    the parity/cross-eval frame)."""
     if method != "auto":
         return method
     import jax
 
-    return ("pdip_ws_fused" if jax.default_backend() != "cpu"
-            else "pdip_ws_lanes")
+    if jax.default_backend() == "cpu":
+        return "pdip_ws_lanes"
+    if stage == "vns" and not band:
+        return "admm_fused@512"
+    return "pdip_ws_fused"
 
 
 @dataclasses.dataclass
@@ -59,14 +80,16 @@ class TuningProblem:
     goal: float = 0.001
     dtype: object = jnp.float64
     qp_iters: int = 30
-    # warm-started PDIP (15 iters ~ cold 40); 'auto' picks the fastest
-    # engine for the backend: on TPU the FUSED whole-PDIP Pallas kernel
-    # (1690 vs 881 sims/s on one v5e chip, checkpoints/bench_ablate.jsonl;
-    # same f32 error vs the f64 ground-truth loop as pdip_ws itself,
-    # checkpoints/qp_engine_agreement_tpu.json), on CPU the lane-major
-    # engine's jnp path (the fused kernel would run interpret-mode there).
-    # Both match per-lane solve_qp_masked to <1e-13 f64 (test_production_qp).
+    # 'auto' picks the fastest ACCURACY-QUALIFIED engine per backend and
+    # tuning stage — see resolve_qp_method for the full policy + evidence
+    # (GAM: fused whole-PDIP Pallas kernel on TPU / lane-major jnp on CPU;
+    # VNS tracking on TPU: fused whole-ADMM kernel).
     qp_method: str = "auto"
+    # VNS-stage engine override; 'auto' = the stage-qualified pick of
+    # resolve_qp_method (tracking cases on TPU: the fused whole-ADMM
+    # kernel; everything else: the GAM engine)
+    vns_qp_method: str = "auto"
+    admm_iters: int = 40  # warm ADMM iterations when an admm engine runs
     linear: bool = True  # False => NMPC loop, nonlinear VNS protocol
     mesh: object = None  # jax.sharding.Mesh -> candidate axis sharded over it
 
@@ -101,16 +124,22 @@ class TuningProblem:
             padded.append(p)
         return shard_candidates(self.mesh, *padded), B
 
-    def closed_batch(self, r_b, N_b, Nu_b, delta_b, lam_b):
+    def closed_batch(self, r_b, N_b, Nu_b, delta_b, lam_b, stage="gam"):
         (r_b, N_b, Nu_b, delta_b, lam_b), B = self._maybe_shard(
             np.asarray(r_b, dtype=np.float64), N_b, Nu_b, delta_b, lam_b
         )
         kw = {}
+        iters = self.qp_iters
         if hasattr(self.loop, "ctl"):  # linear engine supports qp_method
-            kw["qp_method"] = resolve_qp_method(self.qp_method)
+            raw = self.vns_qp_method if stage == "vns" else self.qp_method
+            m = resolve_qp_method(raw, band=bool(np.any(self.band_mask)),
+                                  stage=stage)
+            kw["qp_method"] = m
+            if m.split("@")[0].split("/")[0] in ("admm", "admm_fused"):
+                iters = self.admm_iters
         Y, U = self.loop.closed_batch(
             jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
-            self.nit, self.dtype, self.qp_iters, **kw,
+            self.nit, self.dtype, iters, **kw,
         )
         if B is not None:
             Y, U = np.asarray(Y)[:B], np.asarray(U)[:B]
@@ -190,7 +219,7 @@ def vns_objective_batch(
         Nu_l = np.repeat(Nu_b, my)
         d_l = np.broadcast_to(delta, (B * my, my))
         l_l = np.broadcast_to(lam, (B * my, nu))
-        Yc, Uc = problem.closed_batch(r_b, N_l, Nu_l, d_l, l_l)
+        Yc, Uc = problem.closed_batch(r_b, N_l, Nu_l, d_l, l_l, stage="vns")
         Yo, Uo = problem.open_batch(rfin_b, N_l, Nu_l, d_l, l_l)
         Yc = np.asarray(Yc).reshape(B, my, nit, my)
         Yo = np.asarray(Yo).reshape(B, my, nit, my)
@@ -205,7 +234,7 @@ def vns_objective_batch(
         rfin_b = np.broadcast_to(problem.r[nit - 1], (B, my))
         d_b = np.broadcast_to(delta, (B, my))
         l_b = np.broadcast_to(lam, (B, nu))
-        Yc, Uc = problem.closed_batch(r_b, N_b, Nu_b, d_b, l_b)
+        Yc, Uc = problem.closed_batch(r_b, N_b, Nu_b, d_b, l_b, stage="vns")
         Yo, Uo = problem.open_batch(rfin_b, N_b, Nu_b, d_b, l_b)
         Xy = np.asarray(Yc).transpose(0, 2, 1)  # (B, my, nit)
         Xyma = np.asarray(Yo).transpose(0, 2, 1)

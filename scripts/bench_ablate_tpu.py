@@ -34,6 +34,15 @@ VARIANTS = {
     "admm40_fused256": dict(method="admm_fused@256", pallas=True, iters=40, prec="highest"),
     "admm40_fused512": dict(method="admm_fused@512", pallas=True, iters=40, prec="highest"),
     "admm80_fused": dict(method="admm_fused", pallas=True, iters=80, prec="highest"),
+    "admm60_fused256": dict(method="admm_fused@256", pallas=True, iters=60, prec="highest"),
+    "admm40_fused256_B4096": dict(method="admm_fused@256", pallas=True, iters=40,
+                                  prec="highest", B=4096),
+    "admm40_fused512_B4096": dict(method="admm_fused@512", pallas=True, iters=40,
+                                  prec="highest", B=4096),
+    "admm40_fused512_B8192": dict(method="admm_fused@512", pallas=True, iters=40,
+                                  prec="highest", B=8192),
+    "admm40_fused1024_B4096": dict(method="admm_fused@1024", pallas=True, iters=40,
+                                   prec="highest", B=4096),
 }
 
 
@@ -50,7 +59,7 @@ def worker(name: str):
 
     cfg = VARIANTS[name]
     NIT = 400
-    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    B = int(cfg.get("B", os.environ.get("BENCH_BATCH", "2048")))
     case = woodberry.make_case(nit=NIT)
     problem, _ = build_problem(case, dtype=jnp.float32, qp_iters=cfg["iters"])
     loop = problem.loop

@@ -64,7 +64,9 @@ def vns_table(problem, N_b, Nu_b, delta, lam):
 
     def eval_F(method, iters, dtype=jnp.float64):
         problem.qp_method = method
+        problem.vns_qp_method = method
         problem.qp_iters = iters
+        problem.admm_iters = iters  # explicit admm engines honor `iters`
         problem.dtype = dtype
         return vns_objective_batch(problem, N_b, Nu_b, delta, lam)
 
@@ -88,7 +90,9 @@ def vns_table(problem, N_b, Nu_b, delta, lam):
             "worst_flipped_rel_gap": g,
         }
     problem.qp_method = "auto"
+    problem.vns_qp_method = "auto"
     problem.qp_iters = 30
+    problem.admm_iters = 40
     problem.dtype = jnp.float64
     return rows, F_ref
 
@@ -99,6 +103,7 @@ def gam_table(problem, N, Nu, X):
     def eval_S(method, iters):
         problem.qp_method = method
         problem.qp_iters = iters
+        problem.admm_iters = iters
         return gam_sse_batch(problem, N, Nu, X).sum(axis=1)
 
     F_ref = eval_S("pdip_ws", 15)
