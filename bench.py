@@ -145,7 +145,15 @@ def bench_shell7x5(B, iters, dtype):
                d["rho"], iters)
 
     on_tpu = jax.default_backend() != "cpu"
-    band_method = "pdip_ws_fused" if on_tpu else "pdip_ws"
+    if on_tpu:
+        from mpc_tuning_tpu.tuning.objectives import resolve_qp_method
+
+        # auto band-engine: lanes at this shape (fused PDIP's T2T table
+        # exceeds VMEM at mc_pad=1960 -- see ops/qp.fused_pdip_viable)
+        band_method = resolve_qp_method("auto", band=True, stage="vns",
+                                        dims=d)
+    else:
+        band_method = "pdip_ws"
 
     def run():
         with jax.default_matmul_precision("highest"):

@@ -764,6 +764,42 @@ def solve_qp_admm_fast(pre, f, h, rmask, cmask_z, G0, state, iters: int,
     return z, (x, zc, y)
 
 
+def _qp_shape(p_max, m_max, ny, nu, with_y):
+    n = m_max * nu + 1
+    mc = 4 * m_max * nu + 1 + (2 * p_max * ny if with_y else 0)
+    n_pad = max(8, -(-n // 8) * 8)
+    mcp = max(8, -(-mc // 8) * 8)
+    return n_pad, mcp
+
+
+def fused_pdip_viable(p_max, m_max, ny, nu, with_y,
+                      block_lanes: int = 128,
+                      vmem_budget: int = 14 * 2 ** 20) -> bool:
+    """Can the fused whole-PDIP kernel's working set fit VMEM at this MPC
+    shape?  The shared normal-matrix table T2T is (n_pad^2, mc_pad) —
+    at the Shell7x5 tuning shape (n_pad=48, mc_pad=1960) it alone is 18 MB
+    > the 16 MB scoped budget (measured compile OOM), so `auto` must fall
+    back to the per-op lanes engine there."""
+    n_pad, mcp = _qp_shape(p_max, m_max, ny, nu, with_y)
+    Bt = block_lanes
+    shared = (n_pad * n_pad * mcp + 2 * mcp * n_pad) * 4
+    per_lane = (3 * n_pad * n_pad * Bt + 3 * n_pad * Bt + 8 * mcp * Bt) * 4
+    return shared + per_lane <= vmem_budget
+
+
+def admm_fused_max_lanes(p_max, m_max, ny, nu, with_y,
+                         vmem_budget: int = 14 * 2 ** 20) -> int:
+    """Largest viable block_lanes (512/256/128) for the fused ADMM kernel
+    at this shape, or 0 if even 128 lanes don't fit."""
+    n_pad, mcp = _qp_shape(p_max, m_max, ny, nu, with_y)
+    for Bt in (512, 256, 128):
+        shared = 2 * mcp * n_pad * 4
+        per_lane = (n_pad * n_pad * Bt + 3 * n_pad * Bt + 7 * mcp * Bt) * 4
+        if shared + per_lane <= vmem_budget:
+            return Bt
+    return 0
+
+
 def qp_kkt_residuals(H, f, G, h, z, lam, s):
     """Diagnostics: (stationarity, primal, complementarity) residual norms."""
     r_d = H @ z + f + G.T @ lam

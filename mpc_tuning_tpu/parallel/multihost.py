@@ -142,10 +142,14 @@ def multihost_candidate_argmin(mesh, local_eval_fn, global_args, B_true: int):
 # ----------------------------------------------------------- selftest
 
 
-def _selftest_worker(coordinator: str, nprocs: int, pid: int) -> None:
-    """One process of the 2-process CPU validation: tiny Wood-Berry sweep
-    (same workload as __graft_entry__.dryrun_multichip) over the global
-    (nprocs x 4)-device mesh."""
+def _selftest_worker(coordinator: str, nprocs: int, pid: int,
+                     bench_B: int = 0, bench_nit: int = 0) -> None:
+    """One process of the 2-process CPU validation: Wood-Berry sweep over
+    the global (nprocs x 4)-device mesh.  Default shape is tiny (the
+    __graft_entry__.dryrun_multichip workload); pass bench_B/bench_nit to
+    run + TIME the bench shape for the scaling report (parallel/report)."""
+    import time
+
     import jax
 
     initialize(coordinator, nprocs, pid)
@@ -160,19 +164,27 @@ def _selftest_worker(coordinator: str, nprocs: int, pid: int) -> None:
     mesh = host_mesh()
     nd = mesh.devices.size
 
-    nit = 20
-    case = woodberry.make_case(nit=nit, nbp=4, nbc=2)
-    problem, _ = build_problem(case, dtype=jnp.float32, qp_iters=10)
+    bench = bench_B > 0
+    nit = bench_nit if bench else 20
+    if bench:
+        case = woodberry.make_case(nit=nit)  # bench shape p_max=127
+        qp_iters = 15
+    else:
+        case = woodberry.make_case(nit=nit, nbp=4, nbc=2)
+        qp_iters = 10
+    problem, _ = build_problem(case, dtype=jnp.float32, qp_iters=qp_iters)
     loop = problem.loop
     c = loop.arrays(jnp.float32)
     d = loop.dims
     v = jnp.asarray(problem.v[:nit], jnp.float32)
     Yref = jnp.asarray(problem.Yref[:nit], jnp.float32)
-    statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"], 10)
+    statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
+               d["rho"], qp_iters)
 
-    B = 2 * nd  # 2 candidates per chip
+    B = bench_B if bench else 2 * nd
+    rng = np.random.default_rng(0)
     r_b = np.broadcast_to(np.asarray(problem.r[:nit], np.float32), (B, nit, 2))
-    N_b = np.arange(B) % 4 + 8
+    N_b = (rng.integers(16, 64, size=B) if bench else np.arange(B) % 4 + 8)
     Nu_b = np.full(B, 3)
     delta_b = np.ones((B, 2), np.float32)
     lam_b = np.full((B, 2), 0.1, np.float32)
@@ -185,17 +197,23 @@ def _selftest_worker(coordinator: str, nprocs: int, pid: int) -> None:
         err = Y - Yref[None]
         return jnp.sum(err * err, axis=(1, 2))
 
-    vmin, gidx = multihost_candidate_argmin(
-        mesh, local_eval, [r_b, N_b, Nu_b, delta_b, lam_b], B)
+    argl = [r_b, N_b, Nu_b, delta_b, lam_b]
+    vmin, gidx = multihost_candidate_argmin(mesh, local_eval, argl, B)
+    rate = ""
+    if bench:  # timed second pass (first included compile)
+        t0 = time.perf_counter()
+        vmin, gidx = multihost_candidate_argmin(mesh, local_eval, argl, B)
+        rate = f" sims_per_s={B / (time.perf_counter() - t0):.1f}"
     assert np.isfinite(vmin), vmin
     assert 0 <= gidx < B, gidx
     if pid == 0:
         print(f"MULTIHOST_OK procs={nprocs} devices={nd} "
-              f"best={gidx} objective={vmin:.6g}", flush=True)
+              f"best={gidx} objective={vmin:.6g}{rate}", flush=True)
 
 
 def run_two_process_cpu_selftest(nprocs: int = 2, per_proc_devices: int = 4,
-                                 timeout: float = 600.0) -> str:
+                                 timeout: float = 600.0, bench_B: int = 0,
+                                 bench_nit: int = 0) -> str:
     """Spawn nprocs CPU processes that jax.distributed-initialize against a
     local coordinator and run one sharded sweep step.  Returns the OK line."""
     with socket.socket() as s:
@@ -217,7 +235,8 @@ def run_two_process_cpu_selftest(nprocs: int = 2, per_proc_devices: int = 4,
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "mpc_tuning_tpu.parallel.multihost",
              "--worker", "--coordinator", coord,
-             "--nprocs", str(nprocs), "--pid", str(pid)],
+             "--nprocs", str(nprocs), "--pid", str(pid),
+             "--bench-B", str(bench_B), "--bench-nit", str(bench_nit)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         ))
@@ -245,11 +264,16 @@ def main(argv=None):
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--pid", type=int, default=0)
+    ap.add_argument("--bench-B", type=int, default=0)
+    ap.add_argument("--bench-nit", type=int, default=0)
     args = ap.parse_args(argv)
     if args.worker:
-        _selftest_worker(args.coordinator, args.nprocs, args.pid)
+        _selftest_worker(args.coordinator, args.nprocs, args.pid,
+                         args.bench_B, args.bench_nit)
     elif args.two_process_selftest:
-        print(run_two_process_cpu_selftest(nprocs=args.nprocs))
+        print(run_two_process_cpu_selftest(nprocs=args.nprocs,
+                                           bench_B=args.bench_B,
+                                           bench_nit=args.bench_nit))
     else:
         ap.error("choose --worker or --two-process-selftest")
 

@@ -1,87 +1,226 @@
-"""Scaling-efficiency report for the candidate-sharded tuning sweep.
+"""Scaling-efficiency report for the candidate-sharded tuning sweep
+(BASELINE.md: "tuning sweep evals/s scaling efficiency — report at 1 chip,
+1 host, N >= 2 hosts").
 
-BASELINE.md asks for tuning-sweep evals/s at 1 chip / 1 host / N hosts.
-This environment exposes ONE physical TPU chip; multi-device scaling
-mechanics are exercised on a virtual CPU mesh
-(--xla_force_host_platform_device_count), which validates the sharding /
-collective structure but NOT absolute multi-chip throughput — the report
-labels each row accordingly.
+This environment exposes ONE physical TPU chip and TWO physical CPU
+cores, so the report separates three kinds of evidence, each labeled:
 
-Usage:  python -m mpc_tuning_tpu.parallel.report
+ 1. REAL-CHIP rows (--tpu): the production tuning workload (Wood-Berry
+    bench shape, nit=400, p_max=127, fused whole-ADMM engine) at growing
+    candidate batches on the physical chip.  Candidate-parallel weak
+    scaling: per-candidate cost must NOT grow with batch (it shrinks —
+    fixed per-step overheads amortize), which is the property that makes
+    multi-chip scaling a per-chip-throughput multiplication.
+ 2. VIRTUAL-MESH rows (--cpu-mesh): the same workload sharded over
+    1/2/8 virtual CPU devices at bench-like batch.  On a 2-core host the
+    per-device-efficiency ceiling is ncores/ndevices (devices share
+    cores); the honest metrics are efficiency vs that CORE BOUND and the
+    sharding overhead (sharded vs unsharded at equal resources), which is
+    what transfers to real pods.
+ 3. DISTRIBUTED row (--two-process): a genuine 2-process
+    jax.distributed run (DCN-style coordinator, (2 x 4)-device global
+    mesh) on the same workload shape — validates the multi-host
+    orchestration + argmin collective end-to-end and times it (also
+    core-bound on this host).
+
+scripts/make_scaling_report.py runs all three phases in clean
+subprocesses and merges checkpoints/scaling_report.json.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 import numpy as np
 
+NIT = 400
 
-def measure(problem, B, nit, mesh=None, reps=2):
+
+def _wb_problem(dtype, qp_iters=40):
+    from mpc_tuning_tpu.cases import woodberry
+    from mpc_tuning_tpu.tuning.api import build_problem
+
+    case = woodberry.make_case(nit=NIT)  # p_max=127, m_max=15
+    problem, _ = build_problem(case, dtype=dtype, qp_iters=qp_iters)
+    return problem
+
+
+def _bench_args(problem, B, dtype):
     import jax.numpy as jnp
-    from mpc_tuning_tpu.tuning.objectives import gam_sse_batch
 
     rng = np.random.default_rng(0)
-    X = rng.uniform(0.05, 2.0, size=(B, problem.my + problem.nu))
-    problem.mesh = mesh
-    F = gam_sse_batch(problem, 12, 3, X)  # compile + warm
+    r_b = np.broadcast_to(problem.r[:NIT], (B, NIT, 2))
+    N_b = rng.integers(16, 64, size=B)
+    Nu_b = rng.integers(2, 7, size=B)
+    delta_b = rng.uniform(0.2, 2.0, size=(B, 2))
+    lam_b = rng.uniform(0.01, 0.5, size=(B, 2))
+    return (jnp.asarray(r_b, dtype), jnp.asarray(problem.v[:NIT], dtype),
+            jnp.asarray(N_b), jnp.asarray(Nu_b), jnp.asarray(delta_b, dtype),
+            jnp.asarray(lam_b, dtype))
+
+
+def _time_batch(problem, B, method, dtype, iters, use_pallas, reps=2):
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_tuning_tpu.sim.mpc_loop import closed_loop_batch
+
+    c = problem.loop.arrays(dtype)
+    d = problem.loop.dims
+    args = _bench_args(problem, B, dtype)
+    statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
+               d["rho"], iters)
+
+    def run():
+        with jax.default_matmul_precision("highest"):
+            Y, _ = closed_loop_batch(c, *args, *statics, method, use_pallas)
+        return float(jnp.sum(Y))
+
+    run()
     t0 = time.perf_counter()
     for _ in range(reps):
-        F = gam_sse_batch(problem, 12, 3, X)
+        run()
     dt = (time.perf_counter() - t0) / reps
-    return B / dt, float(np.sum(F))
+    return B / dt
 
 
-def main():
-    import os
+def tpu_rows():
     import jax
 
-    # default to the virtual CPU mesh: the report's purpose is scaling
-    # MECHANICS (the single-chip absolute number is bench.py's job), and
-    # this environment has exactly one physical chip anyway
-    if os.environ.get("REPORT_BACKEND", "cpu") == "cpu":
+    assert jax.default_backend() != "cpu", "run on the TPU backend"
+    import jax.numpy as jnp
+
+    problem = _wb_problem(jnp.float32)
+    rows = []
+    base = None
+    for B in (1024, 2048, 4096, 8192):
+        r = _time_batch(problem, B, "admm_fused@512", jnp.float32, 40, True)
+        if base is None:
+            base = r
+        rows.append({
+            "kind": "real_tpu_chip", "devices": 1, "batch": B,
+            "engine": "admm_fused@512 (production VNS)",
+            "sims_per_s": round(r, 1),
+            "us_per_candidate": round(1e6 * 1 / r * 1, 2)
+            if r else None,
+            "weak_scaling_vs_B1024": round(r / base, 3),
+            "note": "candidate-parallel weak scaling on the physical chip",
+        })
+    return rows
+
+
+def cpu_mesh_rows(B=1024):
+    import jax
+
+    ncores = os.cpu_count()
+    import jax.numpy as jnp
+
+    from mpc_tuning_tpu.parallel.sweep import candidate_mesh
+    from mpc_tuning_tpu.tuning.objectives import TuningProblem  # noqa: F401
+
+    problem = _wb_problem(jnp.float32, qp_iters=15)
+    devices = jax.devices()
+    rows = []
+
+    def timed(mesh, nd):
+        import jax.numpy as jnp
+
+        problem.mesh = mesh
+        rng = np.random.default_rng(0)
+        r_b = np.broadcast_to(problem.r[:NIT], (B, NIT, 2))
+        N_b = rng.integers(16, 64, size=B)
+        Nu_b = rng.integers(2, 7, size=B)
+        d_b = rng.uniform(0.2, 2.0, size=(B, 2))
+        l_b = rng.uniform(0.01, 0.5, size=(B, 2))
+        problem.closed_batch(r_b, N_b, Nu_b, d_b, l_b, stage="vns")  # warm
+        t0 = time.perf_counter()
+        Y, _ = problem.closed_batch(r_b, N_b, Nu_b, d_b, l_b, stage="vns")
+        dt = time.perf_counter() - t0
+        return B / dt
+
+    r1 = timed(None, 1)
+    rows.append({"kind": "virtual_cpu_mesh", "devices": 1, "batch": B,
+                 "physical_cores": ncores, "sims_per_s": round(r1, 1),
+                 "note": "single virtual device (XLA intra-op threads "
+                         "already span the physical cores)"})
+    for nd in (2, len(devices)):
+        if nd > len(devices):
+            continue
+        mesh = candidate_mesh(devices[:nd])
+        r = timed(mesh, nd)
+        core_bound = min(nd, ncores) / nd  # per-device ceiling on this host
+        rows.append({
+            "kind": "virtual_cpu_mesh", "devices": nd, "batch": B,
+            "physical_cores": ncores,
+            "sims_per_s": round(r, 1),
+            "efficiency_vs_1": round(r / (r1 * nd), 3),
+            "core_bound_per_device": round(core_bound, 3),
+            "efficiency_vs_core_bound": round(r / (r1 * min(nd, ncores)), 3),
+            "sharding_overhead_pct": round(100 * (1 - r / r1), 1)
+            if nd >= ncores else None,
+            "note": f"{nd} virtual devices share {ncores} physical cores: "
+                    "the per-device ceiling is core-bound; "
+                    "efficiency_vs_core_bound and sharding overhead are the "
+                    "transferable metrics (validated mechanics, not "
+                    "absolute multi-chip perf)",
+        })
+    problem.mesh = None
+    return rows
+
+
+def two_process_row(B=1024):
+    from mpc_tuning_tpu.parallel.multihost import run_two_process_cpu_selftest
+
+    t0 = time.perf_counter()
+    line = run_two_process_cpu_selftest(bench_B=B, bench_nit=NIT)
+    wall = time.perf_counter() - t0
+    d = {"kind": "jax_distributed_2proc", "processes": 2,
+         "devices": 8, "batch": B, "physical_cores": os.cpu_count(),
+         "ok_line": line, "wall_s_incl_startup": round(wall, 1),
+         "note": "real jax.distributed 2-process run (coordinator + "
+                 "(2x4)-device global mesh + cross-host argmin collective) "
+                 "on the bench workload shape; both processes share the "
+                 "same 2-core host, so throughput is core-bound"}
+    for part in line.split():
+        if part.startswith("sims_per_s="):
+            d["sims_per_s"] = float(part.split("=")[1])
+    return [d]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--cpu-mesh", action="store_true")
+    ap.add_argument("--two-process", action="store_true")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    if args.cpu_mesh or args.two_process:
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8"
-            ).strip()
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
-
-    from mpc_tuning_tpu.cases import woodberry
-    from mpc_tuning_tpu.parallel.sweep import candidate_mesh
-    from mpc_tuning_tpu.tuning.api import build_problem
-
-    backend = jax.default_backend()
-    devices = jax.devices()
-    nit = 100
-    case = woodberry.make_case(nit=nit, nbp=6, nbc=3)
-    dtype = jnp.float32 if backend != "cpu" else jnp.float64
-    problem, _ = build_problem(case, dtype=dtype, qp_iters=15)
 
     rows = []
-    B = 64 if backend == "cpu" else 256
-    r1, _ = measure(problem, B, nit, mesh=None)
-    rows.append({"devices": 1, "kind": backend, "sims_per_s": round(r1, 1),
-                 "note": "single device"})
+    if args.tpu:
+        rows += tpu_rows()
+    if args.cpu_mesh:
+        rows += cpu_mesh_rows(args.batch)
+    if args.two_process:
+        rows += two_process_row(args.batch)
 
-    if len(devices) > 1:
-        for nd in (2, len(devices)):
-            mesh = candidate_mesh(devices[:nd])
-            r, _ = measure(problem, B, nit, mesh=mesh)
-            rows.append({
-                "devices": nd, "kind": backend, "sims_per_s": round(r, 1),
-                "efficiency_vs_1": round(r / (r1 * nd), 3),
-                "note": "virtual host-platform mesh (mechanics, not absolute perf)"
-                if backend == "cpu" else "device mesh",
-            })
-    doc = {"scaling_report": rows, "batch": B, "nit": nit}
+    doc = {"rows": rows, "nit": NIT, "workload":
+           "Wood-Berry tuning closed loop, p_max=127/m_max=15, f32"}
     print(json.dumps(doc, indent=1))
-    out = os.environ.get("REPORT_OUT")
-    if out:
-        with open(out, "w") as fh:
+    if args.out:
+        with open(args.out, "w") as fh:
             json.dump(doc, fh, indent=1)
 
 

@@ -151,6 +151,111 @@ def build_problem(case: LinearCase, dtype=jnp.float64, qp_iters: int = 30,
     return problem, (L, R, Ru, Rv, S, cond_before)
 
 
+def _joint_weight_polish(problem, N: int, Nu: int, weight_pool,
+                         popsize: int = 8, generations: int = 8,
+                         sigma0: float = 0.35, seed: int = 1234,
+                         global_samples: int = 32,
+                         verbose: bool = True):
+    """Chebyshev knee selection over weight space at FIXED horizons.
+
+    The reference ships a glued quadruple — best-VNS horizons + last-GAM
+    weights (MPC_TFob.m:134-140) — whose weights can be strongly
+    single-objective: the gamma-optimal weights of a late fgoalattain can
+    be orders of magnitude worse on the VNS objective (measured on Van de
+    Vusse: gamma 4.8 but F_vns 7.6e4).  This extension evaluates a weight
+    pool (every GAM result of the run + the glued pair) on BOTH tuner
+    objectives and refines with a small log-space (1+lambda)-ES on the
+    Chebyshev scalarization w.r.t. the run's own ideal point,
+
+        s(x) = max( F_vns(x)/F*,  gamma(x)/gamma* ),
+
+    a standard multi-objective knee selection that uses no external
+    information.  Ships the argmin-s point; it can only improve the
+    balance of the returned quadruple.  Returns (x, F_vns, gamma)."""
+    from mpc_tuning_tpu.tuning.objectives import gam_sse_batch, vns_objective_batch
+
+    my = problem.my
+    rng = np.random.default_rng(seed)
+    w = np.asarray(problem.w, dtype=np.float64)
+
+    def eval_xs(X):
+        X = np.maximum(np.abs(np.asarray(X, dtype=np.float64)), 1e-5)
+        S = gam_sse_batch(problem, N, Nu, X)
+        S = np.where(np.isfinite(S), S, 1e30)
+        g = np.max((S - problem.goal) / w[None, :], axis=1)
+        F = np.empty(len(X))
+        for i in range(len(X)):
+            Fi = vns_objective_batch(problem, np.array([N]), np.array([Nu]),
+                                     X[i, :my], X[i, my:])[0]
+            F[i] = Fi if np.isfinite(Fi) else 1e30
+        return F, g
+
+    pool = np.array([np.maximum(np.abs(np.asarray(p, np.float64)), 1e-5)
+                     for p in weight_pool])
+    F, g = eval_xs(pool)
+    Fstar = max(float(F.min()), 1e-12)
+    gstar = max(float(g.min()), 1e-12)
+
+    cand_x = list(pool)
+    cand_F = list(F)
+    cand_g = list(g)
+
+    def scal(Fv, gv):
+        return np.maximum(np.asarray(Fv) / Fstar, np.asarray(gv) / gstar)
+
+    n = pool.shape[1]
+
+    # global log-uniform sampling over a pool-informed range: the two
+    # objectives' preferred basins can be disjoint and far from every pool
+    # point (measured on VdV — a 48-point random sweep found the
+    # dominating knee region that local search from the pool missed)
+    if global_samples:
+        lo = float(np.clip(pool.min() / 5.0, 1e-3, None))
+        hi = float(np.clip(pool.max() * 5.0, None, 50.0))
+        Xg = np.exp(rng.uniform(np.log(lo), np.log(hi),
+                                size=(global_samples, n)))
+        Fg, gg = eval_xs(Xg)
+        Fstar = max(min(Fstar, float(Fg.min())), 1e-12)
+        gstar = max(min(gstar, float(gg.min())), 1e-12)
+        cand_x.extend(Xg)
+        cand_F.extend(Fg)
+        cand_g.extend(gg)
+
+    def run_es(y0):
+        nonlocal Fstar, gstar
+        y = y0
+        sigma = sigma0
+        for gen in range(generations):
+            Z = rng.standard_normal((popsize, n))
+            Z[0] = 0.0
+            X = np.exp(y[None, :] + sigma * Z)
+            F, g = eval_xs(X)
+            Fstar = max(min(Fstar, float(F.min())), 1e-12)
+            gstar = max(min(gstar, float(g.min())), 1e-12)
+            cand_x.extend(X)
+            cand_F.extend(F)
+            cand_g.extend(g)
+            y = np.log(cand_x[int(np.argmin(scal(cand_F, cand_g)))])
+            sigma *= 0.85
+
+    # multi-start: the two objectives can prefer DISJOINT weight basins
+    # (measured on VdV), so restart from the knee incumbent, the
+    # F-minimizing pool point, and the gamma-minimizing pool point — the
+    # shared archive + shared ideal point make the runs cooperative
+    starts = {int(np.argmin(scal(cand_F, cand_g))),
+              int(np.argmin(cand_F)), int(np.argmin(cand_g))}
+    for si in starts:
+        run_es(np.log(cand_x[si]))
+
+    s_all = scal(cand_F, cand_g)
+    bi = int(np.argmin(s_all))
+    if verbose:
+        print(f"[joint] knee s={s_all[bi]:.4g} F={cand_F[bi]:.6g} "
+              f"gamma={cand_g[bi]:.4g} x={np.round(cand_x[bi], 4)} "
+              f"(ideal F*={Fstar:.6g} gamma*={gstar:.4g})")
+    return cand_x[bi], float(cand_F[bi]), float(cand_g[bi])
+
+
 def hybrid_tune(
     problem: TuningProblem,
     nbp: int,
@@ -162,6 +267,7 @@ def hybrid_tune(
     seed: int = 0,
     verbose: bool = True,
     final_polish: bool = True,
+    joint_polish: bool = True,
     state_path: str | None = None,
     resume: bool = False,
 ):
@@ -192,6 +298,7 @@ def hybrid_tune(
     Nu = np.array([2] * nu)
 
     x0 = np.maximum(np.abs(np.asarray(x0, dtype=np.float64)), 1e-5)
+    x0_init = x0.copy()  # the run's starting weights (joint-polish seed)
 
     Fv = 1e30  # global VNS incumbent (MPCTuning.m:292 / VNS2 global Fv)
     Fva = 1e9
@@ -298,6 +405,27 @@ def hybrid_tune(
         if verbose:
             print(f"[polish] F(final pair)={Fva:.6g} N={best['N']} "
                   f"Nu={np.asarray(best['Nu']).tolist()}")
+
+    # ---- joint (Chebyshev) weight polish at the shipped horizons: knee
+    # selection over BOTH tuner objectives (see _joint_weight_polish)
+    if joint_polish and delta is not None:
+        pool = [np.concatenate([np.asarray(h["delta"]), np.asarray(h["lam"])])
+                for h in history if not isinstance(h.get("it"), str)]
+        pool.append(np.concatenate([delta, lam]))
+        pool.append(x0_init)  # the run's starting weights: often the only
+        # pool point in the F-good basin when GAM moved far (measured VdV)
+        x_j, F_j, g_j = _joint_weight_polish(
+            problem, int(best["N"]), int(np.max(best["Nu"])), pool,
+            seed=seed + 999, verbose=verbose)
+        delta = np.where(problem.band_mask, 0.0, np.abs(x_j[:my]))
+        lam = np.abs(x_j[my:])
+        best["delta"] = delta.copy()
+        best["lam"] = lam.copy()
+        Fva = F_j
+        history.append(dict(it="joint", Fvns=F_j, gamma=g_j,
+                            N=int(best["N"]),
+                            Nu=np.asarray(best["Nu"]).tolist(),
+                            delta=delta.tolist(), lam=lam.tolist()))
     return best, delta, lam, Fva, Fvf, history
 
 

@@ -31,7 +31,7 @@ __all__ = ["TuningProblem", "gam_sse_batch", "vns_objective_batch",
 
 
 def resolve_qp_method(method: str, band: bool = False,
-                      stage: str = "gam") -> str:
+                      stage: str = "gam", dims: dict | None = None) -> str:
     """'auto' -> the fastest ACCURACY-QUALIFIED engine for the active
     backend and tuning stage; explicit names pass through.
 
@@ -57,8 +57,28 @@ def resolve_qp_method(method: str, band: bool = False,
 
     if jax.default_backend() == "cpu":
         return "pdip_ws_lanes"
+    shape = None
+    if dims is not None:
+        shape = (dims["p_max"], dims["m_max"], dims["ny"], dims["nu"],
+                 dims["with_y"])
     if stage == "vns" and not band:
+        if shape is not None:
+            from mpc_tuning_tpu.ops.qp import admm_fused_max_lanes
+
+            lanes = admm_fused_max_lanes(*shape)
+            if lanes:
+                return f"admm_fused@{lanes}"
+            return "pdip_ws_lanes"
         return "admm_fused@512"
+    # GAM stage / band cases: fused whole-PDIP, but only where its shared
+    # T2T table fits VMEM — the Shell7x5 tuning shape (mc_pad=1960) needs
+    # 18 MB for T2T alone (measured compile OOM) and falls back to the
+    # per-op lanes engine
+    if shape is not None:
+        from mpc_tuning_tpu.ops.qp import fused_pdip_viable
+
+        if not fused_pdip_viable(*shape):
+            return "pdip_ws_lanes"
     return "pdip_ws_fused"
 
 
@@ -133,7 +153,7 @@ class TuningProblem:
         if hasattr(self.loop, "ctl"):  # linear engine supports qp_method
             raw = self.vns_qp_method if stage == "vns" else self.qp_method
             m = resolve_qp_method(raw, band=bool(np.any(self.band_mask)),
-                                  stage=stage)
+                                  stage=stage, dims=self.loop.dims)
             kw["qp_method"] = m
             if m.split("@")[0].split("/")[0] in ("admm", "admm_fused"):
                 iters = self.admm_iters

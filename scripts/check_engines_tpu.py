@@ -9,11 +9,13 @@ Workloads:
     production engine; checked against its OWN f64 CPU ADMM loop — the
     admm-vs-pdip approximation gap is recorded, not gated: it is
     decision-level qualified, checkpoints/qp_engine_qualification.json);
-  * Shell7x5 band shape (n=46 -> n_pad=48 non-power-of-two, mc=601 rows
-    incl. tight +-0.005 soft bands + ECR): pdip_ws_lanes vs pdip_ws_fused
-    — precisely the shape where PARITY.md concedes f32/f64 divergence can
-    flip VNS decisions (band decisions are finalized at f64; this gate
-    keeps the f32 engines mutually consistent).
+  * Shell7x5 band shape (n=46 -> n_pad=48 non-power-of-two, mc=1959 rows
+    at the tuning shape incl. tight +-0.005 soft bands + ECR): pdip_ws vs
+    pdip_ws_lanes (the auto engine here — the fused kernel's T2T table
+    exceeds VMEM at this shape, ops/qp.fused_pdip_viable) — precisely the
+    shape where PARITY.md concedes f32/f64 divergence can flip VNS
+    decisions (band decisions are finalized at f64; this gate keeps the
+    f32 engines mutually consistent).
 
 Gate: max engine-pair delta <= max(2x the baseline engine's own f32 error
 vs the f64 truth loop, 1e-5 absolute floor).  Artifact:
@@ -182,8 +184,13 @@ def main():
     case7 = shell7x5.make_case()
     problem7, _ = build_problem(case7, dtype=jnp.float32,
                                 L=np.diag(ref.L), R=np.diag(ref.R))
+    # fused PDIP is NOT viable at this shape (T2T table 18 MB > VMEM,
+    # ops/qp.fused_pdip_viable) — `auto` resolves band cases here to the
+    # per-op lanes engine, so that is what the gate covers
+    out["shell7x5_fused_pdip_viable"] = False
+    out["shell7x5_auto_engine"] = "pdip_ws_lanes"
     run_case(out, "shell7x5", problem7, 32, case7.nit, 60,
-             ["pdip_ws_lanes", "pdip_ws_fused"], "pdip_ws",
+             ["pdip_ws", "pdip_ws_lanes"], "pdip_ws",
              rng_seed=1, delta_ref=ref.delta, lam_lo=0.02, lam_hi=2.0)
 
     out["failures"] = FAILS

@@ -1,11 +1,20 @@
-"""Tuning-outcome parity: the repo's tuned artifacts must achieve a VNS
-objective F (VNS2.m:195 semantics) at least as low as the reference's
-committed tuned artifacts — evaluated on the SAME engine, SAME objective,
-SAME conditioned frame (the reference's L/R).  f64 CPU evaluation.
+"""Tuning-outcome parity: the repo's tuned artifacts must achieve BOTH
+tuner objectives at least as well as the reference's committed tuned
+artifacts — evaluated on the SAME engine, SAME objectives, SAME
+conditioned frame (the reference's L/R).  f64 CPU evaluation.
 
-This is the cross-evaluation demanded by round-1 VERDICT item 1; the
-committed table lives in checkpoints/parity_cross_eval.json / PARITY.md.
+  * F_vns (VNS2.m:195 semantics) — the discrete search's acceptance
+    criterion (round-1 VERDICT item 1);
+  * gamma = max_i (SSE_i - goal)/w_i — the fgoalattain program objective
+    (MPC_TFob.m:61-67; round-2 VERDICT missing item 4: the repo
+    previously LOST gamma on Van de Vusse, fixed by the joint Chebyshev
+    weight polish, tuning/api._joint_weight_polish).
+
+The committed table lives in checkpoints/parity_cross_eval.json /
+PARITY.md.
 """
+
+import functools
 
 import numpy as np
 import pytest
@@ -15,12 +24,28 @@ from mpc_tuning_tpu.cases.cross_eval import cross_eval_case
 CASES = ["Shell3x3", "Shell3x3_caso2", "Shell7x5", "VanDeVusse_NMPC"]
 
 
+@functools.lru_cache(maxsize=None)
+def _case(name):
+    return cross_eval_case(name)
+
+
 @pytest.mark.parametrize("name", CASES)
 def test_repo_tuning_beats_reference_on_vns_objective(name):
-    r = cross_eval_case(name)
+    r = _case(name)
     assert "repo" in r, f"no committed repo artifact for {name}"
     assert np.isfinite(r["repo"]["F_vns"]) and np.isfinite(r["ref"]["F_vns"])
     assert r["repo"]["F_vns"] <= r["ref"]["F_vns"], (
         f"{name}: repo F_vns {r['repo']['F_vns']:.2f} > "
         f"ref {r['ref']['F_vns']:.2f}"
+    )
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_repo_tuning_beats_reference_on_gamma(name):
+    r = _case(name)
+    assert "repo" in r, f"no committed repo artifact for {name}"
+    assert np.isfinite(r["repo"]["gamma"]) and np.isfinite(r["ref"]["gamma"])
+    assert r["repo"]["gamma"] <= r["ref"]["gamma"], (
+        f"{name}: repo gamma {r['repo']['gamma']:.3f} > "
+        f"ref {r['ref']['gamma']:.3f}"
     )
