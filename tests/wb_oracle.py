@@ -131,28 +131,23 @@ def wb_conditioned_data(Lc: np.ndarray, Rc: np.ndarray, deltak=0.0, deltaL=0.0):
     return (K0 * scale, tau, L0), (Kp * scale, tau, Lp)
 
 
-def simulate_wb_oracle(
-    r: np.ndarray,       # (nit, 2) conditioned setpoints
-    v: np.ndarray,       # (nit, 1) conditioned measured disturbance
-    nit: int,
-    N: int,
-    Nu: int,
-    delta: np.ndarray,
-    lam: np.ndarray,
-    Lc: np.ndarray,
-    Rc: np.ndarray,      # (3,) incl. the MD column
-    umax=0.5, dumax=0.05,
-    deltak: float = 0.0, deltaL: float = 0.0,
-    Ts: float = 1.0,
+def simulate_fopdt_oracle(
+    model_data, plant_data,  # (K, tau, L) triples, already conditioned
+    r: np.ndarray,           # (nit, ny) conditioned setpoints
+    v: np.ndarray,           # (nit, n_md) conditioned measured disturbance
+    nit: int, N: int, Nu: int,
+    delta: np.ndarray, lam: np.ndarray,
+    umin: np.ndarray, umax: np.ndarray, dumax: np.ndarray,  # conditioned (nu,)
+    Ts: float,
 ):
-    """Full constrained closed loop; returns (y, u) conditioned, (nit, 2)."""
-    (Km, taum, Lm), (Kp, taup, Lp) = wb_conditioned_data(Lc, Rc, deltak, deltaL)
-    model = ChannelBank(Km, taum, Lm, Ts)
-    plant = ChannelBank(Kp, taup, Lp, Ts)
-    ny, nu = 2, 2
-    # conditioned per-input bounds (build_problem divides raw bounds by Ru)
-    umax = np.broadcast_to(np.asarray(umax, dtype=np.float64) / Rc[:nu], (nu,))
-    dumax = np.broadcast_to(np.asarray(dumax, dtype=np.float64) / Rc[:nu], (nu,))
+    """Generic constrained MIMO closed-loop oracle over independent FOPDT
+    channels (any ny x (nu + n_md) plant with first-order rows — covers
+    Wood-Berry AND the Shell fractionator cases, incl. fractional delays
+    like 27/4 = 6.75 samples).  Returns (y, u) conditioned."""
+    model = ChannelBank(*model_data, Ts)
+    plant = ChannelBank(*plant_data, Ts)
+    ny = model.ny
+    nu = len(umax)
 
     # dynamic matrix from step responses (Theta[(i,yo),(t,uj)] = s[i-t])
     s = np.stack([model.step_response(j, N) for j in range(nu)], axis=-1)  # (N, ny, nu)
@@ -189,7 +184,7 @@ def simulate_wb_oracle(
         f = -2.0 * (Theta.T @ Q @ e)
         h = np.concatenate([
             np.tile(dumax, Nu), np.tile(dumax, Nu),
-            np.tile(umax - u_prev, Nu), np.tile(umax + u_prev, Nu),
+            np.tile(umax - u_prev, Nu), np.tile(u_prev - umin, Nu),
         ])
         z, _, status = qp_solve_exact(H, f, G, h)
         assert status == 0, f"oracle QP failed at k={k}"
@@ -199,3 +194,43 @@ def simulate_wb_oracle(
         plant.step(np.concatenate([u, v[k]]))
         u_prev = u
     return Y, U
+
+
+def simulate_wb_oracle(
+    r: np.ndarray,       # (nit, 2) conditioned setpoints
+    v: np.ndarray,       # (nit, 1) conditioned measured disturbance
+    nit: int,
+    N: int,
+    Nu: int,
+    delta: np.ndarray,
+    lam: np.ndarray,
+    Lc: np.ndarray,
+    Rc: np.ndarray,      # (3,) incl. the MD column
+    umax=0.5, dumax=0.05,
+    deltak: float = 0.0, deltaL: float = 0.0,
+    Ts: float = 1.0,
+):
+    """Wood-Berry constrained closed loop; returns (y, u) conditioned."""
+    mdl, plt = wb_conditioned_data(Lc, Rc, deltak, deltaL)
+    nu = 2
+    umax_c = np.broadcast_to(np.asarray(umax, np.float64) / Rc[:nu], (nu,))
+    dumax_c = np.broadcast_to(np.asarray(dumax, np.float64) / Rc[:nu], (nu,))
+    return simulate_fopdt_oracle(mdl, plt, r, v, nit, N, Nu, delta, lam,
+                                 -umax_c, umax_c, dumax_c, Ts)
+
+
+def shell3x3_conditioned_data(Lc: np.ndarray, Rc: np.ndarray):
+    """Shell 3x3 fractionator FOPDT data (Shell3x3.m:43-58), conditioned
+    K' = L K R.  Delays 27/28/... samples at Ts=4 are FRACTIONAL
+    (27/4 = 6.75) — exercised analytically by FOPDT.make."""
+    K0 = np.array([[4.05, 1.77, 5.88],
+                   [5.39, 5.72, 6.90],
+                   [4.38, 4.42, 7.20]])
+    tau = np.array([[50.0, 60.0, 50.0],
+                    [50.0, 60.0, 40.0],
+                    [33.0, 44.0, 19.0]])
+    L0 = np.array([[27.0, 28.0, 27.0],
+                   [18.0, 14.0, 15.0],
+                   [20.0, 22.0, 0.0]])
+    scale = np.outer(Lc, Rc)
+    return (K0 * scale, tau, L0)
