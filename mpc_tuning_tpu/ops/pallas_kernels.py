@@ -409,7 +409,9 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
         dinv = 1.0 / jnp.sum(L * diag, axis=1)          # (n_pad, Bt)
         Xi_ref[...] = dinv[:, None, :] * diag
 
-        def bmm(A, Bm):  # per-lane (p,q,Bt) @ (q,r,Bt)
+        Bt = L.shape[-1]
+
+        def bmm(A, Bm):  # per-lane (p,q,Bt) @ (q,r,Bt) -> (p,r,Bt)
             return jnp.sum(A[:, :, None, :] * Bm[None, :, :, :], axis=1)
 
         k = 1
@@ -418,10 +420,22 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
                 if o + k >= n_pad:  # trailing block <= k: already inverted
                     continue
                 hi = min(o + 2 * k, n_pad)
-                X11 = Xi_ref[o:o + k, o:o + k, :]
-                X22 = Xi_ref[o + k:hi, o + k:hi, :]
+                kp = hi - (o + k)
+                # column-chunk the merge so the (*, *, chunk, Bt) broadcast
+                # temporaries stay ~2 MB and results are written IN PLACE
+                # (at n_pad=48 the unchunked last-level temp is
+                # (16,32,32,128) = 8.4 MB, which alone blew the 16 MB
+                # scoped-VMEM budget — measured compile OOM on the
+                # Shell3x3 tuning shape)
+                per_col = max(kp * k, kp * kp) * Bt * 4
+                chunk = max(1, min(k, (2 * 2 ** 20) // max(1, per_col)))
                 L21 = L[o + k:hi, o:o + k, :]
-                Xi_ref[o + k:hi, o:o + k, :] = -bmm(X22, bmm(L21, X11))
+                X22 = Xi_ref[o + k:hi, o + k:hi, :]
+                for c0 in range(0, k, chunk):
+                    c1 = min(c0 + chunk, k)
+                    X11c = Xi_ref[o:o + k, o + c0:o + c1, :]
+                    T = bmm(L21, X11c)                   # (kp, c, Bt)
+                    Xi_ref[o + k:hi, o + c0:o + c1, :] = -bmm(X22, T)
             k *= 2
 
     def tri_solve_inv(rhs):

@@ -784,7 +784,9 @@ def fused_pdip_viable(p_max, m_max, ny, nu, with_y,
     Bt = block_lanes
     shared = (n_pad * n_pad * mcp + 2 * mcp * n_pad) * 4
     per_lane = (3 * n_pad * n_pad * Bt + 3 * n_pad * Bt + 8 * mcp * Bt) * 4
-    return shared + per_lane <= vmem_budget
+    temps = 3 * 2 * 2 ** 20  # chunked tril_invert bmm temporaries (~2 MB
+    # each, see pallas_kernels._pdip_fused_kernel.bmm) + headroom
+    return shared + per_lane + temps <= vmem_budget
 
 
 def admm_fused_max_lanes(p_max, m_max, ny, nu, with_y,

@@ -1,0 +1,49 @@
+"""Production engine policy: stage/band/shape-aware 'auto' resolution,
+VMEM-viability guards, and qp_method spec parsing."""
+
+from mpc_tuning_tpu.ops.qp import admm_fused_max_lanes, fused_pdip_viable
+from mpc_tuning_tpu.sim.mpc_loop import parse_qp_method
+from mpc_tuning_tpu.tuning.objectives import resolve_qp_method
+
+WB = dict(p_max=127, m_max=15, ny=2, nu=2, with_y=False, rho=1e5)
+S3 = dict(p_max=127, m_max=15, ny=3, nu=3, with_y=False, rho=1e5)
+S7 = dict(p_max=127, m_max=15, ny=7, nu=3, with_y=True, rho=1e5)
+
+
+def test_parse_qp_method_specs():
+    assert parse_qp_method("pdip_ws_fused") == ("pdip_ws_fused", 128, "trinv")
+    assert parse_qp_method("pdip_ws_fused@256") == ("pdip_ws_fused", 256, "trinv")
+    assert parse_qp_method("pdip_ws_fused/subst") == ("pdip_ws_fused", 128, "subst")
+    assert parse_qp_method("pdip_ws_fused@256/subst") == ("pdip_ws_fused", 256, "subst")
+    assert parse_qp_method("admm_fused@512") == ("admm_fused", 512, "trinv")
+    assert parse_qp_method("admm") == ("admm", 128, "trinv")
+
+
+def test_fused_pdip_vmem_viability():
+    """The fused PDIP shared T2T table fits WB/Shell3x3 tuning shapes but
+    NOT Shell7x5's (mc_pad=1960 -> 18 MB > VMEM, measured compile OOM)."""
+    assert fused_pdip_viable(**{k: WB[k] for k in
+                                ("p_max", "m_max", "ny", "nu", "with_y")})
+    assert fused_pdip_viable(**{k: S3[k] for k in
+                                ("p_max", "m_max", "ny", "nu", "with_y")})
+    assert not fused_pdip_viable(**{k: S7[k] for k in
+                                    ("p_max", "m_max", "ny", "nu", "with_y")})
+
+
+def test_admm_fused_lane_autosizing():
+    assert admm_fused_max_lanes(127, 15, 2, 2, False) == 512
+    assert admm_fused_max_lanes(127, 15, 3, 3, False) == 512
+    # Shell7x5's mc_pad=1960 row vectors shrink the viable block
+    assert admm_fused_max_lanes(127, 15, 7, 3, True) in (0, 128)
+
+
+def test_auto_resolution_on_cpu_backend():
+    """On the CPU test backend every stage resolves to the f64-grade
+    lane-major jnp engine (the parity/cross-eval frame)."""
+    for stage in ("gam", "vns"):
+        for band in (False, True):
+            assert resolve_qp_method("auto", band=band, stage=stage,
+                                     dims=WB) == "pdip_ws_lanes"
+    # explicit names always pass through
+    assert resolve_qp_method("admm", stage="vns") == "admm"
+    assert resolve_qp_method("pdip_ws_fused@256") == "pdip_ws_fused@256"
