@@ -102,8 +102,8 @@ def load_repo_point(npz_path: str) -> TunedPoint:
 # directly comparable, no frame conversion.  REPO_TUNED are the round-1 runs
 # at the repo's own CondMin scale, needing the exact weight conversion above.
 REPO_TUNED_REFSCALE = {
-    "Shell3x3": "checkpoints/Shell3x3_refscale_Tuning_20Aug2026_09_09.npz",
-    "Shell3x3_caso2": "checkpoints/Shell3x3_caso2_refscale_Tuning_20Aug2026_09_10.npz",
+    "Shell3x3": "checkpoints/Shell3x3_refscale_Tuning_21Aug2026_06_30.npz",
+    "Shell3x3_caso2": "checkpoints/Shell3x3_caso2_refscale_Tuning_21Aug2026_06_32.npz",
     # f64-polish stage output (scripts/polish_shell7x5_f64.py) — the band
     # case's VNS decisions are finalized at f64 (PARITY.md)
     "Shell7x5": "checkpoints/Shell7x5_refscale_f64polish_Tuning_20Aug2026_09_47.npz",
