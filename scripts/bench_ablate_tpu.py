@@ -37,6 +37,8 @@ VARIANTS = {
     "admm60_fused256": dict(method="admm_fused@256", pallas=True, iters=60, prec="highest"),
     "admm40_fused256_B4096": dict(method="admm_fused@256", pallas=True, iters=40,
                                   prec="highest", B=4096),
+    "fused15_256chunk": dict(method="pdip_ws_fused@256", pallas=True, iters=15,
+                             prec="highest"),
     "admm40_fused512_B4096": dict(method="admm_fused@512", pallas=True, iters=40,
                                   prec="highest", B=4096),
     "admm40_fused512_B8192": dict(method="admm_fused@512", pallas=True, iters=40,
