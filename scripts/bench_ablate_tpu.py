@@ -43,6 +43,8 @@ VARIANTS = {
                                   prec="highest", B=4096),
     "admm40_fused512_B8192": dict(method="admm_fused@512", pallas=True, iters=40,
                                   prec="highest", B=8192),
+    "admm40_fused512_B16384": dict(method="admm_fused@512", pallas=True, iters=40,
+                                   prec="highest", B=16384),
     "admm40_fused1024_B4096": dict(method="admm_fused@1024", pallas=True, iters=40,
                                    prec="highest", B=4096),
 }
