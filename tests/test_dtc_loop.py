@@ -49,6 +49,26 @@ def test_scan_matches_reference_replay(wb_controller):
     np.testing.assert_allclose(u_scan, u_ref, atol=1e-8)
 
 
+def test_scan_batch_matches_single(wb_controller):
+    """The batched scenario-sweep scan (one lane per (r, q) profile — the
+    on-chip GPC benchmark path) must equal per-scenario single scans."""
+    ctl = wb_controller
+    nit = 80
+    rng = np.random.default_rng(0)
+    B = 3
+    r_b = np.zeros((B, nit, 2))
+    q_b = np.zeros((B, nit, 1))
+    for b in range(B):
+        r_b[b, 5 + 10 * b:, 0] = 0.5 + 0.2 * b
+        r_b[b, 40:, 1] = 0.3
+        q_b[b, 60:, 0] = -0.1 * b
+    Yb, Ub = ctl.simulate_scan_batch(r_b, q_b, nit)
+    for b in range(B):
+        y1, u1 = ctl.simulate_scan(r_b[b], q_b[b], nit)
+        assert np.abs(np.asarray(Yb)[b] - y1).max() < 1e-12
+        assert np.abs(np.asarray(Ub)[b] - u1).max() < 1e-12
+
+
 def test_predictor_validation_flags_unstable_model():
     """mimofilter.m:48-64 equivalent: an unstable model pole must surface
     as a predictor-stability warning at build time; the nominal Wood-Berry

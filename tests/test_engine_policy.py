@@ -37,6 +37,25 @@ def test_admm_fused_lane_autosizing():
     assert admm_fused_max_lanes(127, 15, 7, 3, True) in (0, 128)
 
 
+def test_auto_resolution_on_tpu_backend(monkeypatch):
+    """The TPU policy branch (exercised on CPU via a backend monkeypatch):
+    VNS tracking -> fused ADMM with shape-sized lanes; GAM -> fused PDIP
+    where VMEM-viable, lanes at the Shell7x5 shape; band -> never ADMM."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_qp_method("auto", stage="vns", dims=WB) == "admm_fused@512"
+    assert resolve_qp_method("auto", stage="vns", dims=S3) == "admm_fused@512"
+    # y-constrained big-mc shape: ADMM lanes auto-shrink
+    assert resolve_qp_method("auto", stage="vns", dims=S7) in (
+        "admm_fused@128", "pdip_ws_lanes")
+    assert resolve_qp_method("auto", stage="vns", band=True,
+                             dims=S7) == "pdip_ws_lanes"
+    assert resolve_qp_method("auto", stage="gam", dims=WB) == "pdip_ws_fused"
+    assert resolve_qp_method("auto", stage="gam", dims=S3) == "pdip_ws_fused"
+    assert resolve_qp_method("auto", stage="gam", dims=S7) == "pdip_ws_lanes"
+
+
 def test_auto_resolution_on_cpu_backend():
     """On the CPU test backend every stage resolves to the f64-grade
     lane-major jnp engine (the parity/cross-eval frame)."""
