@@ -19,6 +19,17 @@ Design notes
  * rows can be disabled per-candidate by setting that row of G to 0 and
    h to 1 (trivially satisfied) — used to mask horizon-dependent
    constraints so one shape serves the whole candidate batch.
+
+Engine family (see PERF.md ladder + tuning/objectives.resolve_qp_method
+for the accuracy-qualified production policy):
+ * solve_qp / solve_qp_masked — per-candidate PDIP (vmap-able);
+ * solve_qp_masked_lanes / _fused — lane-major batched PDIP, the fused
+   variant running ALL iterations in one Pallas kernel per solve;
+ * solve_qp_admm / solve_qp_admm_fused / _fast — equilibrated warm ADMM
+   (matmul-only iterations, per-candidate precomputed inverse); the fused
+   kernel is the VNS-stage tracking-case speed path (14k sims/s/chip);
+ * fused_pdip_viable / admm_fused_max_lanes — VMEM-viability guards the
+   'auto' policy consults per MPC shape.
 """
 
 from __future__ import annotations
@@ -31,7 +42,9 @@ import jax.numpy as jnp
 
 __all__ = ["solve_qp", "solve_qp_masked", "solve_qp_masked_lanes",
            "solve_qp_masked_fused", "solve_qp_masked_fast",
-           "qp_kkt_residuals"]
+           "admm_precompute", "solve_qp_admm", "solve_qp_admm_fused",
+           "solve_qp_admm_fast", "fused_pdip_viable",
+           "admm_fused_max_lanes", "qp_kkt_residuals"]
 
 # warm-start re-centering: slacks/duals are floored at _WS_EPS and duals
 # capped at _WS_LAM_CAP so a stale active set (e.g. right after a setpoint
