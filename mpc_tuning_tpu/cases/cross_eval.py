@@ -106,7 +106,7 @@ REPO_TUNED_REFSCALE = {
     "Shell3x3_caso2": "checkpoints/Shell3x3_caso2_refscale_Tuning_21Aug2026_06_32.npz",
     # f64-polish stage output (scripts/polish_shell7x5_f64.py) — the band
     # case's VNS decisions are finalized at f64 (PARITY.md)
-    "Shell7x5": "checkpoints/Shell7x5_refscale_f64polish_Tuning_20Aug2026_09_47.npz",
+    "Shell7x5": "checkpoints/Shell7x5_refscale_f64polish_Tuning_21Aug2026_08_14.npz",
     "VanDeVusse_NMPC": "checkpoints/VanDeVusse_NMPC_refscale_Tuning_21Aug2026_05_32.npz",
 }
 REPO_TUNED = {

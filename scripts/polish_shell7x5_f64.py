@@ -32,7 +32,10 @@ from mpc_tuning_tpu.utils.io import save_tuning
 
 def main():
     ref = REF_TUNED["Shell7x5"]
-    repo = load_repo_point(REPO_TUNED_REFSCALE["Shell7x5"])
+    # optional CLI arg: the raw (pre-polish) tuning npz to start from;
+    # default = the committed pointer
+    src = sys.argv[1] if len(sys.argv) > 1 else REPO_TUNED_REFSCALE["Shell7x5"]
+    repo = load_repo_point(src)
     case = shell7x5.make_case()
     problem, _ = build_problem(case, L=np.diag(ref.L), R=np.diag(ref.R),
                                qp_iters=60)
