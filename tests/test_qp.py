@@ -141,6 +141,50 @@ def test_fused_trinv_non_power_of_two_n(n, mc):
                                    atol=1e-9, err_msg=mode)
 
 
+def test_admm_fused_lane_clamp_small_batch():
+    """block_lanes=512 with a small batch (a VNS neighborhood) must clamp
+    to one right-sized 128-lane block and still match the dense per-lane
+    ADMM exactly."""
+    import jax
+    from mpc_tuning_tpu.ops.qp import (
+        admm_precompute, solve_qp_admm, solve_qp_admm_fast)
+
+    rng = np.random.default_rng(11)
+    n, mc, B = 9, 14, 5
+    A = rng.standard_normal((B, n, n))
+    Hs = A @ A.transpose(0, 2, 1) + n * np.eye(n)
+    G0 = rng.standard_normal((mc, n))
+    f = rng.standard_normal((B, n))
+    h = np.abs(rng.standard_normal((B, mc))) + 0.3
+    rmask = np.ones((B, mc))
+    cmask = np.ones((B, n))
+
+    pres = [admm_precompute(jnp.asarray(Hs[i]),
+                            jnp.asarray(rmask[i, :, None] * G0 * cmask[i]))
+            for i in range(B)]
+    z_ref = np.stack([
+        np.asarray(solve_qp_admm(pres[i], jnp.asarray(f[i]),
+                                 jnp.asarray(h[i]),
+                                 (jnp.zeros(n), jnp.zeros(mc),
+                                  jnp.zeros(mc)), iters=60)[0])
+        for i in range(B)])
+
+    pre_b = {k: jnp.stack([p[k] for p in pres]) for k in
+             ("Minv", "rho", "Dinv", "e")}
+
+    def one(Minv, rho, Dinv, e, f1, h1, rm, cm):
+        pre = {"Minv": Minv, "rho": rho, "Dinv": Dinv, "e": e}
+        z, _ = solve_qp_admm_fast(pre, f1, h1, rm, cm, jnp.asarray(G0),
+                                  (jnp.zeros(n), jnp.zeros(mc),
+                                   jnp.zeros(mc)), 60, block_lanes=512)
+        return z
+
+    z = jax.vmap(one)(pre_b["Minv"], pre_b["rho"], pre_b["Dinv"],
+                      pre_b["e"], jnp.asarray(f), jnp.asarray(h),
+                      jnp.asarray(rmask), jnp.asarray(cmask))
+    np.testing.assert_allclose(np.asarray(z), z_ref, atol=1e-12)
+
+
 def test_qp_float32():
     rng = np.random.default_rng(5)
     H, f, G, h = _random_qp(rng, 8, 16)
