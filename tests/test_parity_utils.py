@@ -75,3 +75,20 @@ def test_horizon_verification_protocol():
                           delta=[1.0, 1.0], lam=[0.1, 0.1], nit=60)
     assert good.ok, good.mismatch
     assert bad.mismatch.max() > good.mismatch.max()
+
+
+def test_profiling_rate_and_stopwatch():
+    """utils/profiling: honest device-synced timing helpers."""
+    import jax.numpy as jnp
+
+    from mpc_tuning_tpu.utils.profiling import Stopwatch, rate_of
+
+    def f(x):
+        return jnp.sin(x) @ x
+
+    x = jnp.ones((64, 64))
+    rate, dt = rate_of(f, x, reps=2, items=64)
+    assert rate > 0 and dt > 0
+    sw = Stopwatch().tic()
+    y = f(x)
+    assert sw.toc(sync_on=y) > 0
