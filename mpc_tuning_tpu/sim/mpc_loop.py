@@ -226,10 +226,16 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
         elif qp_method == "pdip_dense":
             z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters,
                                use_pallas=use_pallas)
-        else:  # 'pdip' — cold-start structured PDIP (reference-accurate)
+        elif qp_method == "pdip":  # cold-start structured PDIP (reference-accurate)
             z, _, _ = solve_qp_masked(
                 cand["H"], f, c["G0"], c["T2"], cand["rmask"],
                 cand["cmask_z"], h, iters=qp_iters, use_pallas=use_pallas)
+        else:  # trace-time guard: a typo'd engine must not silently run pdip
+            raise ValueError(
+                f"unknown qp_method {qp_method!r}; use 'auto' via "
+                "TuningProblem or one of pdip/pdip_dense/pdip_ws/"
+                "pdip_ws_lanes/pdip_ws_fused[@lanes][/mode]/admm/"
+                "admm_fused[@lanes]")
         du = z[:nu]
         u_s = u_prev + du
 
