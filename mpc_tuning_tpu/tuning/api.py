@@ -421,7 +421,12 @@ def hybrid_tune(
         lam = np.abs(x_j[my:])
         best["delta"] = delta.copy()
         best["lam"] = lam.copy()
-        Fva = F_j
+        # Fva stays the monotone VNS-objective incumbent: the Chebyshev knee
+        # can deliberately trade F for gamma, so the shipped pair's own F is
+        # recorded in the history "joint" entry (Fvns=F_j, gamma=g_j), not
+        # written over the incumbent the rest of hybrid_tune/save_tuning
+        # treats as monotone.
+        Fva = min(Fva, F_j)
         history.append(dict(it="joint", Fvns=F_j, gamma=g_j,
                             N=int(best["N"]),
                             Nu=np.asarray(best["Nu"]).tolist(),

@@ -96,7 +96,12 @@ def gam_solve(
             best_x = X[order[0]].copy()
             best_F = F_rows[order[0]].copy()
 
-        sel = order[:mu]
+        # lane 0 is the injected mean (Z[0]=0): it competes for elitism
+        # above, but is EXCLUDED from recombination and the p_sigma /
+        # covariance updates — a zero mutation row would shrink the rank-mu
+        # update and bias p_sigma/sigma downward whenever the mean ranks
+        # top-mu (standard CMA-ES injection handling).
+        sel = order[order != 0][:mu]
         y_old = y_mean
         y_mean = (wts[None, :] @ Ymut[sel]).ravel()
 

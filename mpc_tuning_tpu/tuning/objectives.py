@@ -69,7 +69,10 @@ def resolve_qp_method(method: str, band: bool = False,
             if lanes:
                 return f"admm_fused@{lanes}"
             return "pdip_ws_lanes"
-        return "admm_fused@512"
+        # no shape information: the fused-ADMM VMEM-viability guard cannot
+        # run, and an mc-heavy shape (any with_y case) would compile-OOM the
+        # fused kernel — return the always-viable lanes engine instead
+        return "pdip_ws_lanes"
     # GAM stage / band cases: fused whole-PDIP, but only where its shared
     # T2T table fits VMEM — the Shell7x5 tuning shape (mc_pad=1960) needs
     # 18 MB for T2T alone (measured compile OOM) and falls back to the
