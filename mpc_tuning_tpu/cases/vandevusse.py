@@ -95,11 +95,13 @@ def build_problem(case: VdVCase, dtype=jnp.float64) -> TuningProblem:
 
 
 def run(nit: int = NIT, checkpoint_dir: str | None = "checkpoints",
-        verbose: bool = True, dtype=jnp.float64, **tuner_kwargs):
+        verbose: bool = True, dtype=jnp.float64, mesh=None, **tuner_kwargs):
     """MPCTuning-equivalent for the nonlinear case (VanDeVusse_NMPC.m:204)
-    followed by the final closed-loop (VanDeVusse_NMPC.m:244)."""
+    followed by the final closed-loop (VanDeVusse_NMPC.m:244).
+    ``mesh`` shards every candidate batch (see tuning/api.mpc_tuning)."""
     case = make_case(nit=nit)
     problem = build_problem(case, dtype)
+    problem.mesh = mesh
     x0 = np.array([1.0, 1.0, 0.1, 0.1])  # delta0, lambda0 (VanDeVusse_NMPC.m:195-198)
     best, delta, lam, Fva, Fvf, history = hybrid_tune(
         problem, case.nbp, case.nbc, x0, verbose=verbose, **tuner_kwargs,

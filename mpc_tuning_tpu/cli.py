@@ -31,6 +31,10 @@ def run_main(argv=None):
                     help="continue a killed run from the state file; "
                          "reproduces the uninterrupted result exactly")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--mesh", default=None, metavar="auto|N",
+                    help="shard every candidate evaluation over a device "
+                         "mesh: 'auto' = all visible devices, an integer = "
+                         "the first N devices (tuning/api.mpc_tuning mesh=)")
     args = ap.parse_args(argv)
 
     import jax
@@ -39,6 +43,16 @@ def run_main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
+
+    mesh = None
+    if args.mesh:
+        from mpc_tuning_tpu.parallel.sweep import candidate_mesh
+
+        devs = jax.devices()
+        if args.mesh != "auto":
+            devs = devs[: int(args.mesh)]
+        mesh = candidate_mesh(devs)
+        print(f"# candidate mesh: {len(devs)} x {devs[0].platform}")
 
     dtype = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
     budget = (dict(gam_popsize=8, gam_generations=5, max_alternations=2)
@@ -66,7 +80,7 @@ def run_main(argv=None):
 
         case, res, (y, u) = vandevusse.run(
             checkpoint_dir=args.checkpoint_dir, dtype=dtype, **budget,
-            state_path=state_path, resume=args.resume,
+            state_path=state_path, resume=args.resume, mesh=mesh,
             **({"nit": args.nit} if args.nit else {}),
         )
         out = dict(case=args.case, **{k: (v.tolist() if isinstance(v, np.ndarray) else v)
@@ -83,7 +97,8 @@ def run_main(argv=None):
             tkw["qp_iters"] = 60
         res = mpc_tuning(case, dtype=dtype,
                          checkpoint_dir=args.checkpoint_dir,
-                         state_path=state_path, resume=args.resume, **tkw)
+                         state_path=state_path, resume=args.resume,
+                         mesh=mesh, **tkw)
         out = dict(case=args.case, N=res.N, Nu=res.Nu.tolist(),
                    delta=res.delta.tolist(), lam=res.lam.tolist(),
                    Fvns=res.Fvns, Fgam=res.Fgam, checkpoint=res.checkpoint)

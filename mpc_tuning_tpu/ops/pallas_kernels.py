@@ -36,6 +36,19 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# The v5e's physical VMEM is ~128 MB/core — far above Mosaic's conservative
+# default scoped budget.  The fused whole-solve kernels legitimately hold
+# multi-MB shared tables (the Shell7x5 band shape's T2T alone is 18 MB), so
+# they raise the limit explicitly; measured on-chip: a 110 MB scratch
+# compiles and runs (round-4 probe).  Per-shape viability is still guarded
+# by ops/qp.fused_pdip_viable / admm_fused_max_lanes against this budget.
+_VMEM_LIMIT = 112 * 2 ** 20
+
+
+def _fused_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 # ---------------------------------------------------------------- kernel
 
 
@@ -597,6 +610,7 @@ def pdip_fused_lanes(Hp, T2T, G0p, f_l, h_l, rmask_l, cmask_l, z0_l, lam0_l,
             pltpu.VMEM((n_pad, Bt), dtype),
             pltpu.VMEM((n_pad, n_pad, Bt), dtype),
         ],
+        compiler_params=_fused_params(),
         interpret=_interpret(),
     )(Hp, T2T, G0p, jnp.transpose(G0p), f_l, h_l, rmask_l, cmask_l,
       z0_l, lam0_l)
@@ -714,6 +728,7 @@ def admm_fused_lanes(Minv_t, G0p, fs_l, hs_l, arow_l, acol_l, par_l,
             jax.ShapeDtypeStruct((mcp, B), dtype),
             jax.ShapeDtypeStruct((mcp, B), dtype),
         ),
+        compiler_params=_fused_params(),
         interpret=_interpret(),
     )(Minv_t, G0p, jnp.transpose(G0p), fs_l, hs_l, arow_l, acol_l, par_l,
       x0_l, zc0_l, y0_l)

@@ -785,14 +785,23 @@ def _qp_shape(p_max, m_max, ny, nu, with_y):
     return n_pad, mcp
 
 
+# Fused-kernel VMEM budget.  Round-3 sized this against a presumed 16 MB
+# scoped limit; a round-4 on-chip probe showed the v5e's physical VMEM is
+# ~128 MB/core (a 110 MB Pallas scratch compiles and runs), and the fused
+# kernels now raise Mosaic's limit explicitly
+# (pallas_kernels._fused_params).  96 MB here leaves headroom for Mosaic's
+# own temporaries under the 112 MB kernel limit.
+_FUSED_VMEM_BUDGET = 96 * 2 ** 20
+
+
 def fused_pdip_viable(p_max, m_max, ny, nu, with_y,
                       block_lanes: int = 128,
-                      vmem_budget: int = 14 * 2 ** 20) -> bool:
+                      vmem_budget: int = _FUSED_VMEM_BUDGET) -> bool:
     """Can the fused whole-PDIP kernel's working set fit VMEM at this MPC
-    shape?  The shared normal-matrix table T2T is (n_pad^2, mc_pad) —
-    at the Shell7x5 tuning shape (n_pad=48, mc_pad=1960) it alone is 18 MB
-    > the 16 MB scoped budget (measured compile OOM), so `auto` must fall
-    back to the per-op lanes engine there."""
+    shape?  The shared normal-matrix table T2T is (n_pad^2, mc_pad) — 18 MB
+    at the Shell7x5 tuning shape (n_pad=48, mc_pad=1960), which fits the
+    real ~128 MB VMEM once the Mosaic limit is raised (it exceeded the old
+    default scoped budget, the round-3 'VMEM wall')."""
     n_pad, mcp = _qp_shape(p_max, m_max, ny, nu, with_y)
     Bt = block_lanes
     shared = (n_pad * n_pad * mcp + 2 * mcp * n_pad) * 4
@@ -803,9 +812,11 @@ def fused_pdip_viable(p_max, m_max, ny, nu, with_y,
 
 
 def admm_fused_max_lanes(p_max, m_max, ny, nu, with_y,
-                         vmem_budget: int = 14 * 2 ** 20) -> int:
+                         vmem_budget: int = _FUSED_VMEM_BUDGET) -> int:
     """Largest viable block_lanes (512/256/128) for the fused ADMM kernel
-    at this shape, or 0 if even 128 lanes don't fit."""
+    at this shape, or 0 if even 128 lanes don't fit.  512 stays the cap:
+    wider blocks are now VMEM-viable (see _FUSED_VMEM_BUDGET) but 1024
+    lanes must re-qualify on-chip before 'auto' may pick them."""
     n_pad, mcp = _qp_shape(p_max, m_max, ny, nu, with_y)
     for Bt in (512, 256, 128):
         shared = 2 * mcp * n_pad * 4

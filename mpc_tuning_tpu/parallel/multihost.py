@@ -142,6 +142,52 @@ def multihost_candidate_argmin(mesh, local_eval_fn, global_args, B_true: int):
 # ----------------------------------------------------------- selftest
 
 
+def _alternation_worker(coordinator: str, nprocs: int, pid: int) -> None:
+    """One process of the 2-process PRODUCTION-TUNER validation: one full
+    GAM <-> VNS alternation of the Wood-Berry case (small budget,
+    tuning/api.hybrid_tune — the MPC_TFob.m:56-132 loop) runs twice —
+    unsharded, then with problem.mesh = the global (host, ici) mesh — and
+    the tuned incumbents (N, Nu, delta, lambda) must be BIT-identical
+    (the recorded objective to machine precision).
+    This exercises the exact entry point users get via
+    mpc_tuning(case, mesh=...) / `mpc-tuning-run --mesh auto`."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # f64 evaluation grade
+    initialize(coordinator, nprocs, pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+
+    import jax.numpy as jnp
+
+    from mpc_tuning_tpu.cases import woodberry
+    from mpc_tuning_tpu.tuning.api import build_problem, hybrid_tune
+
+    case = woodberry.make_case(nit=40, nbp=4, nbc=2)
+    problem, _ = build_problem(case, dtype=jnp.float64, qp_iters=10)
+    x0 = np.concatenate([case.ov_weight0, case.mvrate_weight0])
+    kw = dict(gam_popsize=4, gam_generations=2, max_alternations=1,
+              seed=0, verbose=False, final_polish=False, joint_polish=False)
+    best_r, d_r, l_r, F_r, _, _ = hybrid_tune(problem, case.nbp, case.nbc,
+                                              x0, **kw)
+    problem.mesh = host_mesh()
+    best_s, d_s, l_s, F_s, _, _ = hybrid_tune(problem, case.nbp, case.nbc,
+                                              x0, **kw)
+    # incumbents (the tuner's DECISIONS) must be bit-identical; the
+    # recorded objective may differ by a few ulps because XLA tiles the
+    # per-shard batch shapes differently (measured 7e-16 relative)
+    assert best_s["N"] == best_r["N"], (best_s["N"], best_r["N"])
+    assert np.array_equal(best_s["Nu"], best_r["Nu"]), (best_s["Nu"],
+                                                        best_r["Nu"])
+    assert np.array_equal(d_s, d_r), (d_s, d_r)
+    assert np.array_equal(l_s, l_r), (l_s, l_r)
+    assert abs(F_s - F_r) <= 1e-12 * max(1.0, abs(F_r)), (F_s, F_r)
+    if pid == 0:
+        print(f"MULTIHOST_TUNE_OK procs={nprocs} "
+              f"devices={jax.device_count()} N={best_s['N']} "
+              f"Nu={np.asarray(best_s['Nu']).tolist()} "
+              f"objective={F_s:.6g} bitwise_identical=1", flush=True)
+
+
 def _selftest_worker(coordinator: str, nprocs: int, pid: int,
                      bench_B: int = 0, bench_nit: int = 0) -> None:
     """One process of the 2-process CPU validation: Wood-Berry sweep over
@@ -212,10 +258,14 @@ def _selftest_worker(coordinator: str, nprocs: int, pid: int,
 
 
 def run_two_process_cpu_selftest(nprocs: int = 2, per_proc_devices: int = 4,
-                                 timeout: float = 600.0, bench_B: int = 0,
-                                 bench_nit: int = 0) -> str:
+                                 timeout: float = 900.0, bench_B: int = 0,
+                                 bench_nit: int = 0,
+                                 mode: str = "sweep") -> str:
     """Spawn nprocs CPU processes that jax.distributed-initialize against a
-    local coordinator and run one sharded sweep step.  Returns the OK line."""
+    local coordinator and run one sharded step.  ``mode``: 'sweep' = one
+    sharded sweep + argmin collective; 'alternation' = one full GAM<->VNS
+    tuner alternation with bit-identical-incumbent assertion
+    (_alternation_worker).  Returns the OK line."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -236,7 +286,8 @@ def run_two_process_cpu_selftest(nprocs: int = 2, per_proc_devices: int = 4,
             [sys.executable, "-m", "mpc_tuning_tpu.parallel.multihost",
              "--worker", "--coordinator", coord,
              "--nprocs", str(nprocs), "--pid", str(pid),
-             "--bench-B", str(bench_B), "--bench-nit", str(bench_nit)],
+             "--bench-B", str(bench_B), "--bench-nit", str(bench_nit),
+             "--mode", mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         ))
@@ -252,9 +303,10 @@ def run_two_process_cpu_selftest(nprocs: int = 2, per_proc_devices: int = 4,
         outs.append(out)
         ok = ok and (p.returncode == 0)
     joined = "\n".join(outs)
-    if not ok or "MULTIHOST_OK" not in joined:
+    tag = "MULTIHOST_TUNE_OK" if mode == "alternation" else "MULTIHOST_OK"
+    if not ok or tag not in joined:
         raise RuntimeError(f"multihost selftest failed:\n{joined}")
-    return next(l for l in joined.splitlines() if l.startswith("MULTIHOST_OK"))
+    return next(l for l in joined.splitlines() if l.startswith(tag))
 
 
 def main(argv=None):
@@ -266,14 +318,20 @@ def main(argv=None):
     ap.add_argument("--pid", type=int, default=0)
     ap.add_argument("--bench-B", type=int, default=0)
     ap.add_argument("--bench-nit", type=int, default=0)
+    ap.add_argument("--mode", choices=["sweep", "alternation"],
+                    default="sweep")
     args = ap.parse_args(argv)
     if args.worker:
-        _selftest_worker(args.coordinator, args.nprocs, args.pid,
-                         args.bench_B, args.bench_nit)
+        if args.mode == "alternation":
+            _alternation_worker(args.coordinator, args.nprocs, args.pid)
+        else:
+            _selftest_worker(args.coordinator, args.nprocs, args.pid,
+                             args.bench_B, args.bench_nit)
     elif args.two_process_selftest:
         print(run_two_process_cpu_selftest(nprocs=args.nprocs,
                                            bench_B=args.bench_B,
-                                           bench_nit=args.bench_nit))
+                                           bench_nit=args.bench_nit,
+                                           mode=args.mode))
     else:
         ap.error("choose --worker or --two-process-selftest")
 

@@ -38,15 +38,39 @@ def pad_to_multiple(arr: np.ndarray, k: int, axis: int = 0):
     return np.concatenate([arr, np.tile(last, reps)], axis=axis), n
 
 
+def _cand_spec(mesh: Mesh, ndim: int) -> P:
+    """Axis-0 sharded over ALL mesh axes flattened (works for the 1-D
+    'cand' mesh and the multihost ('host', 'ici') mesh alike)."""
+    axes = tuple(mesh.axis_names)
+    first = axes[0] if len(axes) == 1 else axes
+    return P(first, *([None] * (ndim - 1)))
+
+
 def shard_candidates(mesh: Mesh, *arrays):
-    """device_put each array with axis-0 sharded over the mesh (arrays must
-    already be padded to a multiple of the mesh size)."""
-    axis = mesh.axis_names[0]
+    """Materialize each host array with axis-0 sharded over the mesh
+    (arrays must already be padded to a multiple of the mesh size).
+
+    Uses make_array_from_callback so the same path serves single-process
+    meshes AND multi-host meshes where most shards are non-addressable —
+    every process passes the IDENTICAL global array (deterministic host
+    code) and only its local shards are built."""
     out = []
     for a in arrays:
-        spec = P(axis, *([None] * (np.ndim(a) - 1)))
-        out.append(jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec)))
+        a = np.asarray(a)
+        sh = NamedSharding(mesh, _cand_spec(mesh, a.ndim))
+        out.append(jax.make_array_from_callback(
+            a.shape, sh, lambda idx, a=a: a[idx]))
     return tuple(out)
+
+
+def replicate_to_host(mesh: Mesh, arr) -> np.ndarray:
+    """All-gather a candidate-sharded global array to full replication and
+    return it as a host numpy array (valid on every process of a
+    multi-host mesh — the jitted identity with a replicated out_sharding
+    makes XLA insert the gather collective)."""
+    sh = NamedSharding(mesh, P())
+    gathered = jax.jit(lambda x: x, out_shardings=sh)(arr)
+    return np.asarray(gathered.addressable_shards[0].data)
 
 
 def sharded_argmin_sweep(mesh: Mesh, eval_fn, F_args, B_true: int):

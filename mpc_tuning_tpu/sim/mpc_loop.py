@@ -44,6 +44,29 @@ def _auto_pallas(use_pallas):
     return bool(use_pallas)
 
 
+def _shard_mapped(batch_fn, mesh, statics, batched_dims, out_dims):
+    """Wrap a jitted candidate-batched evaluator in shard_map over ``mesh``.
+
+    batched_dims: per positional arg (after the constants dict), the ndim of
+    a candidate-axis-0 sharded input, or None for a replicated input.
+    The candidate axis is split over ALL mesh axes flattened, so the same
+    wrapper serves a 1-D device mesh and the multihost (host, ici) grid.
+    Inside the shard body every device sees only its local candidate shard,
+    which is exactly what the Pallas lane-major engines expect."""
+    from jax.sharding import PartitionSpec as P
+
+    from mpc_tuning_tpu.parallel.sweep import _cand_spec
+
+    def body(c_, *args):
+        return batch_fn(c_, *args, *statics)
+
+    in_specs = (P(),) + tuple(
+        P() if nd is None else _cand_spec(mesh, nd) for nd in batched_dims)
+    out_specs = tuple(_cand_spec(mesh, nd) for nd in out_dims)
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+
+
 @dataclasses.dataclass
 class MPCLoop:
     """Bound pair of (controller, true plant) ready to simulate."""
@@ -74,31 +97,44 @@ class MPCLoop:
 
     # ------------------------------------------------- batched tuning API
     def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
-                     qp_iters, qp_method="pdip", use_pallas=None):
+                     qp_iters, qp_method="pdip", use_pallas=None, mesh=None):
+        """``mesh``: shard the candidate axis over a jax.sharding.Mesh —
+        the eval runs under shard_map so every device (or host process)
+        simulates only its candidate shard and the Pallas engines see
+        per-device local batches (the scale-out axis of SURVEY.md §2.6;
+        the reference evaluates candidates serially, MPCTuning.m:89)."""
         c = self.arrays(dtype)
         d = self.dims
+        statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
+                   d["rho"], qp_iters, qp_method, _auto_pallas(use_pallas))
+        args = (jnp.asarray(r_b, dtype)[:, :nit], jnp.asarray(v[:nit], dtype),
+                jnp.asarray(N_b), jnp.asarray(Nu_b),
+                jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype))
         with jax.default_matmul_precision("highest"):
-            return closed_loop_batch(
-            c, jnp.asarray(r_b[:, :nit], dtype), jnp.asarray(v[:nit], dtype),
-            jnp.asarray(N_b), jnp.asarray(Nu_b),
-            jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
-            d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
-            qp_iters, qp_method, _auto_pallas(use_pallas),
-        )
+            if mesh is None:
+                return closed_loop_batch(c, *args, *statics)
+            return _shard_mapped(
+                closed_loop_batch, mesh, statics,
+                batched_dims=(3, None, 1, 1, 2, 2), out_dims=(3, 3),
+            )(c, *args)
 
     def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
-                   qp_iters, use_pallas=None):
+                   qp_iters, use_pallas=None, mesh=None):
         c = self.arrays(dtype)
         d = self.dims
+        statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
+                   d["rho"], qp_iters, _auto_pallas(use_pallas))
+        args = (jnp.asarray(rfin_b, dtype), jnp.asarray(v[nit - 1], dtype),
+                jnp.asarray(v[:nit], dtype),
+                jnp.asarray(N_b), jnp.asarray(Nu_b),
+                jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype))
         with jax.default_matmul_precision("highest"):
-            return open_loop_batch(
-            c, jnp.asarray(rfin_b, dtype), jnp.asarray(v[nit - 1], dtype),
-            jnp.asarray(v[:nit], dtype),
-            jnp.asarray(N_b), jnp.asarray(Nu_b),
-            jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
-            d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
-            qp_iters, _auto_pallas(use_pallas),
-        )
+            if mesh is None:
+                return open_loop_batch(c, *args, *statics)
+            return _shard_mapped(
+                open_loop_batch, mesh, statics,
+                batched_dims=(2, None, None, 1, 1, 2, 2), out_dims=(3, 3),
+            )(c, *args)
 
     # -------------------------------------------------------------- API
     def simulate(self, r, v, nit, N, Nu, delta, lam, dtype=jnp.float64,

@@ -108,27 +108,45 @@ class NMPCLoop:
         )
         return np.asarray(y), np.asarray(u)
 
-    def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype, qp_iters):
+    def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
+                     qp_iters, mesh=None):
         self._check_no_md(v)
         c = self._consts(dtype)
+        args = (jnp.asarray(r_b, dtype)[:, :nit],
+                jnp.asarray(N_b), jnp.asarray(Nu_b),
+                jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype))
         with jax.default_matmul_precision("highest"):
-            return _nmpc_closed_batch(
-            self.spec.rhs, c, jnp.asarray(r_b[:, :nit], dtype),
-            jnp.asarray(N_b), jnp.asarray(Nu_b),
-            jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
-            *self._statics(),
-        )
+            if mesh is None:
+                return _nmpc_closed_batch(self.spec.rhs, c, *args,
+                                          *self._statics())
+            from mpc_tuning_tpu.sim.mpc_loop import _shard_mapped
 
-    def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype, qp_iters):
+            fn = partial(_nmpc_closed_batch, self.spec.rhs)
+            return _shard_mapped(fn, mesh, self._statics(),
+                                 batched_dims=(3, 1, 1, 2, 2),
+                                 out_dims=(3, 3))(c, *args)
+
+    def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
+                   qp_iters, mesh=None):
         self._check_no_md(v)
         c = self._consts(dtype)
+        args = (jnp.asarray(rfin_b, dtype),
+                jnp.asarray(N_b), jnp.asarray(Nu_b),
+                jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype))
+        statics = (nit,) + self._statics()
         with jax.default_matmul_precision("highest"):
-            return _nmpc_open_batch(
-            self.spec.rhs, c, jnp.asarray(rfin_b, dtype),
-            jnp.asarray(N_b), jnp.asarray(Nu_b),
-            jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype),
-            nit, *self._statics(),
-        )
+            if mesh is None:
+                return _nmpc_open_batch(self.spec.rhs, c, args[0], *args[1:],
+                                        nit, *self._statics())
+            from mpc_tuning_tpu.sim.mpc_loop import _shard_mapped
+
+            def fn(c_, rfin, N, Nu, d, l, nit_, *st):
+                return _nmpc_open_batch(self.spec.rhs, c_, rfin, N, Nu, d, l,
+                                        nit_, *st)
+
+            return _shard_mapped(fn, mesh, statics,
+                                 batched_dims=(2, 1, 1, 2, 2),
+                                 out_dims=(3, 3))(c, *args)
 
 
 # ------------------------------------------------------------------ kernels

@@ -100,8 +100,14 @@ def _condition_case(case: LinearCase):
 
 
 def build_problem(case: LinearCase, dtype=jnp.float64, qp_iters: int = 30,
-                  L=None, R=None):
-    """Condition + assemble the TuningProblem (device-side evaluators)."""
+                  L=None, R=None, mesh=None):
+    """Condition + assemble the TuningProblem (device-side evaluators).
+
+    ``mesh``: a jax.sharding.Mesh — every batched candidate evaluation of
+    the tuner runs under shard_map with the candidate axis split over all
+    mesh axes (parallel/sweep.py).  The reference evaluates candidates
+    serially ('UseParallel',false, MPCTuning.m:89); this is the TPU
+    framework's scale-out axis (SURVEY.md §2.6)."""
     if L is None or R is None:
         L, R, Ru, Rv, S, cond_before = _condition_case(case)
     else:
@@ -146,7 +152,7 @@ def build_problem(case: LinearCase, dtype=jnp.float64, qp_iters: int = 30,
         w=np.asarray(case.w, dtype=np.float64),
         band_mask=np.asarray(case.ov_weight0) == 0.0,
         dmin=dmin, nbp=case.nbp, nbc=case.nbc,
-        dtype=dtype, qp_iters=qp_iters,
+        dtype=dtype, qp_iters=qp_iters, mesh=mesh,
     )
     return problem, (L, R, Ru, Rv, S, cond_before)
 
@@ -448,6 +454,7 @@ def mpc_tuning(
     R=None,
     state_path: str | None = None,
     resume: bool = False,
+    mesh=None,
 ) -> TuningResult:
     """L/R override pins the conditioning scale (e.g. the reference's
     committed L/R for frame-identical tuning-outcome parity runs).
@@ -459,9 +466,15 @@ def mpc_tuning(
     WoodBerry.m:163-178 — mid-run resume is the TPU framework's aux
     feature, SURVEY.md section 5).  When ``state_path`` is None but a
     checkpoint_dir is given, the state goes to
-    <checkpoint_dir>/<case>_tuning_state.json."""
+    <checkpoint_dir>/<case>_tuning_state.json.
+
+    ``mesh``: a jax.sharding.Mesh — the whole GAM<->VNS alternation runs
+    with every candidate batch sharded over the mesh (CLI: --mesh auto).
+    Incumbents (N, Nu, delta, lambda) are bit-identical to the unsharded
+    run (asserted by the multihost alternation selftest,
+    parallel/multihost.py)."""
     problem, (L, R, Ru, Rv, S, cond_before) = build_problem(
-        case, dtype, qp_iters, L=L, R=R)
+        case, dtype, qp_iters, L=L, R=R, mesh=mesh)
     x0 = np.concatenate([case.ov_weight0, case.mvrate_weight0])
 
     if state_path is None and checkpoint_dir is not None:

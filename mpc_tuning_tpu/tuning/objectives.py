@@ -162,11 +162,20 @@ class TuningProblem:
                 iters = self.admm_iters
         Y, U = self.loop.closed_batch(
             jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
-            self.nit, self.dtype, iters, **kw,
+            self.nit, self.dtype, iters, mesh=self.mesh, **kw,
         )
         if B is not None:
-            Y, U = np.asarray(Y)[:B], np.asarray(U)[:B]
+            Y, U = self._gather(Y, B), self._gather(U, B)
         return Y, U
+
+    def _gather(self, a, B):
+        """Candidate-sharded device output -> full host array (all-gather
+        on multi-host meshes; plain fetch when every shard is local)."""
+        if not a.is_fully_addressable:
+            from mpc_tuning_tpu.parallel.sweep import replicate_to_host
+
+            return replicate_to_host(self.mesh, a)[:B]
+        return np.asarray(a)[:B]
 
     def open_batch(self, rfin_b, N_b, Nu_b, delta_b, lam_b):
         (rfin_b, N_b, Nu_b, delta_b, lam_b), B = self._maybe_shard(
@@ -174,10 +183,10 @@ class TuningProblem:
         )
         Y, U = self.loop.open_batch(
             jnp.asarray(rfin_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
-            self.nit, self.dtype, self.qp_iters,
+            self.nit, self.dtype, self.qp_iters, mesh=self.mesh,
         )
         if B is not None:
-            Y, U = np.asarray(Y)[:B], np.asarray(U)[:B]
+            Y, U = self._gather(Y, B), self._gather(U, B)
         return Y, U
 
 
