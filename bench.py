@@ -15,7 +15,8 @@ the f64 PDIP truth on the WB and Shell3x3 candidate grids).
 
 Extra rows (detail.extra_metrics):
   * wb_gam_pdip_fused     — the GAM-stage engine (fused whole-PDIP kernel)
-  * shell7x5_band         — band-control case (mc=601 rows, always PDIP)
+  * shell7x5_band         — band-control case (fused whole-PDIP at the
+                            capacity-bucketed shape, always PDIP)
   * vdv_nmpc              — nonlinear SQP engine (closedloop_toolbox_nmpc
                             equivalent workload)
   * dtc_gpc               — DTC-GPC recursive scan engine (the literal
@@ -83,22 +84,28 @@ def _time_reps(fn, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_wb(problem, B, method, iters, dtype):
+def bench_wb(problem, B, method, iters, dtype, N_fix=None, Nu_fix=None):
     import jax
     import jax.numpy as jnp
 
-    from mpc_tuning_tpu.sim.mpc_loop import closed_loop_batch
+    from mpc_tuning_tpu.sim.mpc_loop import closed_loop_batch, horizon_caps
 
     loop = problem.loop
+    rng = np.random.default_rng(0)
+    ny = loop.dims["ny"]
+    N_np = (np.full(B, N_fix) if N_fix else rng.integers(16, 64, size=B))
+    Nu_np = (np.full(B, Nu_fix) if Nu_fix else rng.integers(2, 7, size=B))
+    # capacity bucket = the production path's shape for this batch
+    # (sim/mpc_loop.capped: exact, masked rows beyond the bucket are zeros)
+    loop = loop.capped(*horizon_caps(loop.dims["p_max"], loop.dims["m_max"],
+                                     N_np, Nu_np))
     c = loop.arrays(dtype)
     d = loop.dims
-    rng = np.random.default_rng(0)
-    ny = d["ny"]
     r_b = jnp.asarray(
         np.broadcast_to(problem.r[:NIT], (B, NIT, ny)), dtype)
     v = jnp.asarray(problem.v[:NIT], dtype)
-    N_b = jnp.asarray(rng.integers(16, 64, size=B))
-    Nu_b = jnp.asarray(rng.integers(2, 7, size=B))
+    N_b = jnp.asarray(N_np)
+    Nu_b = jnp.asarray(Nu_np)
     delta_b = jnp.asarray(rng.uniform(0.2, 2.0, size=(B, ny)), dtype)
     lam_b = jnp.asarray(rng.uniform(0.01, 0.5, size=(B, d["nu"])), dtype)
     statics = (d["p_max"], d["m_max"], ny, d["nu"], d["with_y"], d["rho"],
@@ -122,7 +129,7 @@ def bench_shell7x5(B, iters, dtype):
 
     from mpc_tuning_tpu.cases import shell7x5
     from mpc_tuning_tpu.cases.cross_eval import REF_TUNED
-    from mpc_tuning_tpu.sim.mpc_loop import closed_loop_batch
+    from mpc_tuning_tpu.sim.mpc_loop import closed_loop_batch, horizon_caps
     from mpc_tuning_tpu.tuning.api import build_problem
 
     ref = REF_TUNED["Shell7x5"]
@@ -130,15 +137,21 @@ def bench_shell7x5(B, iters, dtype):
     problem, _ = build_problem(case, dtype=dtype,
                                L=np.diag(ref.L), R=np.diag(ref.R))
     loop = problem.loop
-    c = loop.arrays(dtype)
-    d = loop.dims
     nit = case.nit
     rng = np.random.default_rng(1)
     B = int(B)
+    N_np = rng.integers(8, 40, size=B)
+    Nu_np = rng.integers(2, 5, size=B)
+    # capacity bucket: the y-band constraint rows and the Cholesky size
+    # shrink to the batch's max horizons (exact; sim/mpc_loop.capped)
+    loop = loop.capped(*horizon_caps(loop.dims["p_max"], loop.dims["m_max"],
+                                     N_np, Nu_np))
+    c = loop.arrays(dtype)
+    d = loop.dims
     r_b = jnp.asarray(np.broadcast_to(problem.r[:nit], (B, nit, 7)), dtype)
     v = jnp.asarray(problem.v[:nit], dtype)
-    N_b = jnp.asarray(rng.integers(8, 40, size=B))
-    Nu_b = jnp.asarray(rng.integers(2, 5, size=B))
+    N_b = jnp.asarray(N_np)
+    Nu_b = jnp.asarray(Nu_np)
     delta_b = jnp.asarray(np.broadcast_to(ref.delta, (B, 7)), dtype)
     lam_b = jnp.asarray(rng.uniform(0.02, 2.0, size=(B, 3)), dtype)
     statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
@@ -148,8 +161,10 @@ def bench_shell7x5(B, iters, dtype):
     if on_tpu:
         from mpc_tuning_tpu.tuning.objectives import resolve_qp_method
 
-        # auto band-engine: lanes at this shape (fused PDIP's T2T table
-        # exceeds VMEM at mc_pad=1960 -- see ops/qp.fused_pdip_viable)
+        # auto band-engine at the CAPPED shape: the fused whole-PDIP kernel
+        # (the 18 MB full-shape T2T 'VMEM wall' of round 3 was Mosaic's
+        # default scoped limit, not the hardware - and the capped table is
+        # far smaller anyway)
         band_method = resolve_qp_method("auto", band=True, stage="vns",
                                         dims=d)
     else:
@@ -236,9 +251,13 @@ def main():
     dtype = jnp.float32
     B = int(os.environ.get("BENCH_BATCH", "8192" if on_tpu else "64"))
 
-    # production VNS-stage engine (tracking): fused whole-ADMM on TPU
+    # production VNS-stage engine (tracking): fused whole-ADMM on TPU;
+    # resolve at the CAPPED WB bench shape (N<64, Nu<7 -> caps (64, 8)),
+    # exactly what bench_wb will simulate at
+    _wb_dims = dict(p_max=64, m_max=8, ny=2, nu=2, with_y=False, rho=1e5)
     method = os.environ.get(
-        "BENCH_METHOD", resolve_qp_method("auto", band=False, stage="vns"))
+        "BENCH_METHOD",
+        resolve_qp_method("auto", band=False, stage="vns", dims=_wb_dims))
     is_admm = method.split("@")[0].split("/")[0] in ("admm", "admm_fused")
     iters = int(os.environ.get("BENCH_QP_ITERS", "40" if is_admm else "15"))
 
@@ -247,17 +266,22 @@ def main():
 
     sims_per_s, dt, d = bench_wb(problem, B, method, iters, dtype)
 
-    # ---- GAM-stage engine row (fused whole-PDIP, 15 warm iters)
+    # ---- GAM-stage engine row (fused whole-PDIP, 15 warm iters) at the
+    # REAL GAM population shape: the whole CMA population shares the
+    # incumbent horizons (gam_sse_batch broadcasts one (N, Nu)), so the
+    # capacity bucket is tight — here (N, Nu) = (20, 4) -> caps (32, 4)
     extra = []
     try:
         gam_iters = 15
         gB = min(B, 2048) if on_tpu else 8
         gam_method = "pdip_ws_fused" if on_tpu else "pdip_ws"
-        g_sims, _, _ = bench_wb(problem, gB, gam_method,
-                                gam_iters, dtype)
+        g_sims, _, gd = bench_wb(problem, gB, gam_method,
+                                 gam_iters, dtype, N_fix=20, Nu_fix=4)
         extra.append({"metric": "wb_gam_pdip_fused_sims_per_s",
                       "value": round(g_sims, 2), "unit": "sims/s",
-                      "qp_iters": gam_iters, "batch": gB})
+                      "qp_iters": gam_iters, "batch": gB,
+                      "caps": [gd["p_max"], gd["m_max"]],
+                      "population": "fixed (N,Nu)=(20,4), varying weights"})
     except Exception as exc:  # pragma: no cover - bench resilience
         extra.append({"metric": "wb_gam_pdip_fused_sims_per_s",
                       "error": repr(exc)[:200]})
@@ -299,8 +323,9 @@ def main():
         extra.append({"metric": "dtc_gpc_closedloop_sims_per_s",
                       "error": repr(exc)[:200]})
 
-    # ---- single-QP p50 latency (warm-started masked PDIP solve, B=1)
-    loop = problem.loop
+    # ---- single-QP p50 latency (warm-started masked PDIP solve, B=1) at
+    # the same capped shape bench_wb ran at (d is the capped dims dict)
+    loop = problem.loop.capped(d["p_max"], d["m_max"])
     c = loop.arrays(dtype)
     cand = assemble_candidate(c, jnp.asarray(20), jnp.asarray(4),
                               jnp.asarray([1.0, 1.0], dtype),

@@ -77,8 +77,12 @@ def final_simulation(case: LinearCase, res: TuningResult, nominal: bool = True,
     from mpc_tuning_tpu.sim.mpc_loop import MPCLoop
 
     loop = MPCLoop(ctl=prob.loop.ctl, plant_ss=plant_c)
+    # simulate at the tuner's own QP budget (prob.qp_iters — e.g. the band
+    # case tunes at 60 iters; the 30-iter cold default under-converges the
+    # degenerate band QP at aggressive tuned lambda and can violate hard
+    # MV bounds)
     y_c, u_c = loop.simulate(prob.r, prob.v, nit, res.N, int(np.max(res.Nu)),
-                             res.delta, res.lam)
+                             res.delta, res.lam, qp_iters=prob.qp_iters)
     y = (np.linalg.inv(res.L) @ y_c.T).T
     u = u_c * res.Ru[None, :]
     return y, u

@@ -31,6 +31,11 @@ def run_main(argv=None):
                     help="continue a killed run from the state file; "
                          "reproduces the uninterrupted result exactly")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--report", default=None, metavar="OUT.html|OUT.png",
+                    help="write the reference drivers' figure sets at the "
+                         "tuned parameters (closed loop, open-vs-closed "
+                         "horizon verification, tuning history) — "
+                         "mpc_tuning_tpu/report.py")
     ap.add_argument("--mesh", default=None, metavar="auto|N",
                     help="shard every candidate evaluation over a device "
                          "mesh: 'auto' = all visible devices, an integer = "
@@ -85,6 +90,18 @@ def run_main(argv=None):
         )
         out = dict(case=args.case, **{k: (v.tolist() if isinstance(v, np.ndarray) else v)
                                       for k, v in res.items() if k != "history"})
+        if args.report:
+            from mpc_tuning_tpu.report import generate_report
+
+            t = np.arange(len(y)) * case.spec.Ts
+            p = generate_report(
+                args.report, args.case, t, y, u, r=case.r[: len(y)],
+                Yref=case.Yref[: len(y)], history=res["history"],
+                summary=dict(N=res["N"], Nu=list(map(int, res["Nu"])),
+                             delta=np.round(res["delta"], 4).tolist(),
+                             lam=np.round(res["lam"], 4).tolist(),
+                             Fvns=res["Fvns"], Fgam=res["Fgam"]))
+            out["report"] = p
     else:
         from mpc_tuning_tpu.cases import shell3x3, shell7x5, woodberry
         from mpc_tuning_tpu.tuning.api import mpc_tuning
@@ -102,6 +119,32 @@ def run_main(argv=None):
         out = dict(case=args.case, N=res.N, Nu=res.Nu.tolist(),
                    delta=res.delta.tolist(), lam=res.lam.tolist(),
                    Fvns=res.Fvns, Fgam=res.Fgam, checkpoint=res.checkpoint)
+        if args.report:
+            from mpc_tuning_tpu.report import generate_report
+
+            nit = case.nit
+            y, u = mod.final_simulation(case, res)
+            prob = res.problem
+            Linv = np.linalg.inv(res.L)
+            Numax = int(np.max(res.Nu))
+            yc, _ = prob.loop.simulate(prob.r, prob.v, nit, res.N, Numax,
+                                       res.delta, res.lam)
+            vf = prob.v[nit - 1] if prob.v.shape[1] else np.zeros(0)
+            yo, _ = prob.loop.open_loop(prob.r[nit - 1], vf, prob.v, nit,
+                                        res.N, Numax, res.delta, res.lam)
+            t = np.arange(nit) * case.Ts
+            p = generate_report(
+                args.report, args.case, t, y, u,
+                r=case.Xsp[:nit], Yref=case.Yref[:nit],
+                ymin=case.ymin, ymax=case.ymax,
+                Yc=(Linv @ np.asarray(yc).T).T,
+                Yo=(Linv @ np.asarray(yo).T).T,
+                history=res.history,
+                summary=dict(N=res.N, Nu=res.Nu.tolist(),
+                             delta=np.round(res.delta, 4).tolist(),
+                             lam=np.round(res.lam, 4).tolist(),
+                             Fvns=res.Fvns, Fgam=res.Fgam))
+            out["report"] = p
     print(json.dumps(out, indent=1))
 
 

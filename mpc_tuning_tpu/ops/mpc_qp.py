@@ -277,10 +277,6 @@ def assemble_candidate(c: dict, N, Nu, delta, lam, p_max: int, m_max: int,
     blocks.append(eps_row)  # -eps <= 0
     G = jnp.vstack(blocks)
 
-    from mpc_tuning_tpu.ops.qp import admm_precompute
-
-    admm = admm_precompute(H, G)
-
     # masks for the shared-G0 structured solver (ops/qp.solve_qp_masked):
     # G == diag(rmask) @ c["G0"] @ diag(cmask_z) exactly (the column masking
     # of the Tcum blocks is redundant on rows rmask keeps: an active row t
@@ -291,6 +287,10 @@ def assemble_candidate(c: dict, N, Nu, delta, lam, p_max: int, m_max: int,
     rparts.append(jnp.ones(1, dtype))
     rmask = jnp.concatenate(rparts)
     cmask_z = jnp.concatenate([cmask_flat, jnp.ones(1, dtype)])
+
+    from mpc_tuning_tpu.ops.qp import admm_precompute
+
+    admm = admm_precompute(H, G, cmask=cmask_z)
 
     return {
         "admm": admm,

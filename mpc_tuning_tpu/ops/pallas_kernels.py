@@ -348,17 +348,15 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
     diagonal on padded rows), T2T (n_pad^2, mc_pad) shared vec-outer-product
     constraint table, G0/G0T (mc_pad, n_pad)/(n_pad, mc_pad) shared, vectors
     (n_pad, Bt) / (mc_pad, Bt).  Rows >= mc are padding: rmask 0, h 1 —
-    their duals are pinned to zero (vmask) so gap/merit match the unpadded
-    engine bit-for-bit in exact arithmetic.
+    their duals are pinned to zero (rmask is 0 there, like every masked
+    row) so gap/merit match the unpadded engine bit-for-bit in exact
+    arithmetic.
     """
     dtype = f_ref.dtype
     n_pad = Hp_ref.shape[0]
     mcp = h_ref.shape[0]
     HIGH = jax.lax.Precision.HIGHEST
     dn = (((1,), (0,)), ((), ()))
-
-    vmask = (jax.lax.broadcasted_iota(jnp.int32, (mcp, 1), 0) < mc
-             ).astype(dtype)
 
     f = f_ref[...]
     h = h_ref[...]
@@ -493,10 +491,15 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
 
     tri_solve = tri_solve_inv if solve_mode == "trinv" else tri_solve_subst
 
-    # ---- warm start (identical re-centering to solve_qp_masked_lanes)
+    # ---- warm start (identical re-centering to solve_qp_masked_lanes);
+    # masked rows (rmask 0, incl. the mcp padding) carry EXACTLY zero duals
+    # throughout and mu normalizes by the ACTIVE row count, so the iterate
+    # trajectory matches the capacity-bucketed (sliced) shape bit-for-bit
+    # in exact arithmetic (sim/mpc_loop.capped contract)
     z = z0_ref[...]
-    lam = jnp.maximum(lam0_ref[...], eps_c) * vmask
+    lam = jnp.maximum(lam0_ref[...], eps_c) * rmask
     s = jnp.maximum(h - Gmat(z), eps_c)
+    nact = jnp.maximum(jnp.sum(rmask, axis=0, keepdims=True), 1.0)  # (1,Bt)
 
     inf = jnp.asarray(jnp.inf, dtype)
 
@@ -510,7 +513,7 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
         r_d = Hz(z) + f + GTmat(lam)
         r_p = Gmat(z) + s - h
         gap = jnp.sum(lam * s, axis=0, keepdims=True)   # (1, Bt)
-        mu = gap / mc
+        mu = gap / nact
 
         mnew = (jnp.sqrt(jnp.sum(r_d * r_d, axis=0, keepdims=True))
                 + jnp.sqrt(jnp.sum(r_p * r_p, axis=0, keepdims=True)) + gap)
@@ -531,18 +534,18 @@ def _pdip_fused_kernel(n: int, mc: int, iters: int, eps_c: float,
         rhs_aff = -r_d + GTmat(lam - w * r_p)
         dz_aff = tri_solve(rhs_aff)
         ds_aff = -(r_p + Gmat(dz_aff))
-        dlam_aff = -(lam * s + lam * ds_aff) / s * vmask
+        dlam_aff = -(lam * s + lam * ds_aff) / s * rmask
 
         a_aff = jnp.minimum(max_step(s, ds_aff), max_step(lam, dlam_aff))
         mu_aff = jnp.sum((lam + a_aff * dlam_aff) * (s + a_aff * ds_aff),
-                         axis=0, keepdims=True) / mc
+                         axis=0, keepdims=True) / nact
         sig_r = mu_aff / (mu + 1e-30)
         sigma = sig_r * sig_r * sig_r
 
-        r_cent = lam * s - sigma * mu + dlam_aff * ds_aff
+        r_cent = (lam * s - sigma * mu + dlam_aff * ds_aff) * rmask
         dz = tri_solve(-r_d + GTmat(r_cent / s - w * r_p))
         ds = -(r_p + Gmat(dz))
-        dlam = -(r_cent + lam * ds) / s * vmask
+        dlam = -(r_cent + lam * ds) / s * rmask
 
         a = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
         return (z + a * dz, lam + a * dlam, s + a * ds, bz, blam, bs, bm)

@@ -197,6 +197,13 @@ def solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters: int = 30,
     Same algorithm/constants as ``solve_qp`` (Mehrotra predictor-corrector,
     fixed iteration count, best-iterate-by-merit return, warm-start
     re-centering); results agree to solver tolerance.
+
+    Masked rows are EXACT no-ops: their duals are pinned to zero and the
+    centering parameter mu normalizes by the ACTIVE row count, so the
+    iterate trajectory is identical whether masked rows are present or
+    sliced away (the capacity-bucketing contract, sim/mpc_loop.capped;
+    phantom rows used to bias mu downward and could throttle step lengths
+    on the Shell7x5 band shape).
     """
     n = H.shape[0]
     m = G0.shape[0]
@@ -208,16 +215,17 @@ def solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters: int = 30,
     def GTmat(y):
         return cmask_z * ((rmask * y) @ G0)
 
+    nact = jnp.maximum(jnp.sum(rmask), 1.0)
     if init is None:
         z = jnp.zeros(n, dtype)
         s = jnp.maximum(h - Gmat(z), jnp.asarray(1.0, dtype))
-        lam = jnp.ones(m, dtype)
+        lam = jnp.ones(m, dtype) * rmask
     else:
         z0, lam0, s0 = init
         z = z0
         eps_c = jnp.asarray(_WS_EPS, dtype)
         s = jnp.maximum(h - Gmat(z), eps_c)
-        lam = jnp.clip(lam0, eps_c, _WS_LAM_CAP)
+        lam = jnp.clip(lam0, eps_c, _WS_LAM_CAP) * rmask
 
     ridge = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-6, dtype)
     eyen = jnp.eye(n, dtype=dtype)
@@ -234,7 +242,7 @@ def solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters: int = 30,
         r_d = H @ z + f + GTmat(lam)
         r_p = Gmat(z) + s - h
         gap = jnp.dot(lam, s)
-        mu = gap / m
+        mu = gap / nact
 
         zb, lamb, sb, mb = best
         mnew = jnp.linalg.norm(r_d) + jnp.linalg.norm(r_p) + gap
@@ -272,10 +280,12 @@ def solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters: int = 30,
             return jnp.minimum(1.0, 0.995 * jnp.min(ratio))
 
         a_aff = jnp.minimum(max_step(s, ds_aff), max_step(lam, dlam_aff))
-        mu_aff = jnp.dot(lam + a_aff * dlam_aff, s + a_aff * ds_aff) / m
+        mu_aff = jnp.dot(lam + a_aff * dlam_aff, s + a_aff * ds_aff) / nact
         sigma = (mu_aff / (mu + 1e-30)) ** 3
 
-        r_cent = lam * s - sigma * mu + dlam_aff * ds_aff
+        # r_cent carries -sigma*mu on EVERY row; pin masked rows so their
+        # (zero) duals stay exactly zero
+        r_cent = (lam * s - sigma * mu + dlam_aff * ds_aff) * rmask
         rhs = -r_d + GTmat(r_cent / s - w * r_p)
         dz = solve(rhs)
         ds = -(r_p + Gmat(dz))
@@ -368,7 +378,8 @@ def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
         return cmask_l * (G0.T @ (rmask_l * y))
 
     s = jnp.maximum(h_l - Gmat(z), eps_c)
-    lam = jnp.clip(lanes(lam0_b, 1.0), eps_c, _WS_LAM_CAP)
+    lam = jnp.clip(lanes(lam0_b, 1.0), eps_c, _WS_LAM_CAP) * rmask_l
+    nact = jnp.maximum(jnp.sum(rmask_l, axis=0), 1.0)  # (B_pad,)
 
     ridge = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-6, dtype)
     w_cap = jnp.asarray(1e13 if dtype == jnp.float64 else 1e7, dtype)
@@ -402,7 +413,7 @@ def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
         r_d = jnp.einsum("ijB,jB->iB", Hp[:n, :n], z) + f_l + GTmat(lam)
         r_p = Gmat(z) + s - h_l
         gap = jnp.sum(lam * s, axis=0)
-        mu = gap / mc
+        mu = gap / nact
 
         zb, lamb, sb, mb = best
         mnew = (jnp.linalg.norm(r_d, axis=0) + jnp.linalg.norm(r_p, axis=0)
@@ -429,10 +440,13 @@ def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
 
         a_aff = jnp.minimum(max_step(s, ds_aff), max_step(lam, dlam_aff))
         mu_aff = jnp.sum((lam + a_aff * dlam_aff) * (s + a_aff * ds_aff),
-                         axis=0) / mc
+                         axis=0) / nact
         sigma = (mu_aff / (mu + 1e-30)) ** 3
 
-        r_cent = lam * s - sigma[None, :] * mu[None, :] + dlam_aff * ds_aff
+        # masked rows pinned: their duals stay exactly zero (capacity-
+        # bucket equivalence, see solve_qp_masked)
+        r_cent = (lam * s - sigma[None, :] * mu[None, :]
+                  + dlam_aff * ds_aff) * rmask_l
         rhs = pad_n(-r_d + GTmat(r_cent / s - w * r_p))
         dz = solve_lanes(Lt, rhs)[:n]
         ds = -(r_p + Gmat(dz))
@@ -591,7 +605,7 @@ def solve_qp_masked_fast(H, f, G0, T2, rmask, cmask_z, h, iters: int,
         H, f, G0, T2, rmask, cmask_z, h, z0, lam0, s0)
 
 
-def admm_precompute(H, G, sigma: float = 1e-6):
+def admm_precompute(H, G, sigma: float = 1e-6, cmask=None):
     """Per-candidate constants for the ADMM solver.
 
     The MPC QP is badly scaled out of the box (the ECR slack penalty puts
@@ -618,8 +632,13 @@ def admm_precompute(H, G, sigma: float = 1e-6):
     GtG = Gs.T @ Gs
     # 0.1x the curvature ratio: empirically near-optimal on the MPC tracking
     # QP class (WB/Shell3x3 sweeps; rho=1x stalls an order of magnitude
-    # slower) — see tests/test_production_qp.py
-    rho = 0.1 * jnp.linalg.norm(Hs) / (jnp.linalg.norm(GtG) + 1e-12)
+    # slower) — see tests/test_production_qp.py.  With cmask given, the
+    # Hs norm excludes masked-variable identity entries so rho (and hence
+    # the fixed-iteration trajectory) is capacity-bucket invariant
+    # (sim/mpc_loop.capped); GtG is invariant already (masked rows/cols
+    # of Gs are exact zeros).
+    Hn = Hs if cmask is None else Hs * cmask[:, None] * cmask[None, :]
+    rho = 0.1 * jnp.linalg.norm(Hn) / (jnp.linalg.norm(GtG) + 1e-12)
     rho = jnp.clip(rho, 1e-3, 1e2)
     M = Hs + sigma * jnp.eye(n, dtype=H.dtype) + rho * GtG
     Minv = jnp.linalg.inv(M)

@@ -67,12 +67,39 @@ def _shard_mapped(batch_fn, mesh, statics, batched_dims, out_dims):
                                  out_specs=out_specs, check_vma=False))
 
 
+# Capacity buckets: a candidate batch whose horizons all fit (p_cap, m_cap)
+# is simulated with the controller tensors SLICED to that capacity — the
+# rows/columns beyond max(N)/max(Nu) are fully-masked exact zeros, so the
+# result is unchanged while the per-step QP cost (Cholesky n^3, normal-
+# matrix table matmul, constraint-row vector work) scales with the bucket
+# instead of the tuner's bit-width maxima (2^nbp-1, 2^nbc-1,
+# MPCTuning.m:270-289).  A small fixed bucket set keeps recompiles bounded.
+_P_BUCKETS = (8, 16, 32, 48, 64, 96)
+_M_BUCKETS = (2, 4, 8)
+
+
+def horizon_caps(p_max, m_max, N_b, Nu_b):
+    """Smallest (p_cap, m_cap) bucket covering the batch, or the maxima.
+    Returns (p_max, m_max) unchanged when the batch is not host-readable
+    (e.g. non-addressable multi-host shards)."""
+    try:
+        n_need = int(np.max(np.asarray(N_b)))
+        m_need = int(np.max(np.asarray(Nu_b)))
+    except Exception:
+        return p_max, m_max
+    p_cap = next((b for b in _P_BUCKETS if n_need <= b < p_max), p_max)
+    m_cap = next((b for b in _M_BUCKETS if m_need <= b < m_max), m_max)
+    return p_cap, m_cap
+
+
 @dataclasses.dataclass
 class MPCLoop:
     """Bound pair of (controller, true plant) ready to simulate."""
 
     ctl: MPCController
     plant_ss: DiscreteSS  # conditioned true plant, inputs [MV, MD]
+    _cap_cache: dict = dataclasses.field(default_factory=dict, repr=False,
+                                         compare=False)
 
     # static ints for jit
     @property
@@ -82,6 +109,37 @@ class MPCLoop:
             p_max=s.p_max, m_max=s.m_max, ny=s.model.ny, nu=s.n_mv,
             nd=s.n_md, with_y=s.has_y_constraints, rho=float(s.rho_eps),
         )
+
+    def capped(self, p_cap: int, m_cap: int) -> "MPCLoop":
+        """Capacity-restricted view: controller prediction tensors sliced
+        to (p_cap, m_cap).  EXACT for every candidate with N <= p_cap and
+        Nu <= m_cap (the discarded rows/cols were fully-masked zeros)."""
+        s = self.ctl.spec
+        if (p_cap, m_cap) == (s.p_max, s.m_max):
+            return self
+        assert p_cap <= s.p_max and m_cap <= s.m_max, (p_cap, m_cap)
+        key = (p_cap, m_cap)
+        hit = self._cap_cache.get(key)
+        if hit is None:
+            ctl = self.ctl
+            ny, nu = s.model.ny, s.n_mv
+            spec2 = dataclasses.replace(s, p_max=p_cap, m_max=m_cap)
+            Theta4 = ctl.Theta.reshape(s.p_max, ny, s.m_max, nu)
+            ctl2 = MPCController(
+                spec=spec2, aug=ctl.aug,
+                A=ctl.A, Bu=ctl.Bu, Bv=ctl.Bv, C=ctl.C, Dv=ctl.Dv, M=ctl.M,
+                Sx=ctl.Sx[:p_cap], Sstep=ctl.Sstep[: p_cap + 1],
+                Sv=ctl.Sv[:p_cap],
+                Theta=Theta4[:p_cap, :, :m_cap].reshape(p_cap * ny,
+                                                        m_cap * nu),
+                Tcum=np.kron(np.tril(np.ones((m_cap, m_cap))), np.eye(nu)),
+                umin_s=ctl.umin_s, umax_s=ctl.umax_s,
+                dumin_s=ctl.dumin_s, dumax_s=ctl.dumax_s,
+                ymin_s=ctl.ymin_s, ymax_s=ctl.ymax_s,
+            )
+            hit = MPCLoop(ctl=ctl2, plant_ss=self.plant_ss)
+            self._cap_cache[key] = hit
+        return hit
 
     def arrays(self, dtype=jnp.float64):
         c = controller_arrays(self.ctl, dtype)
@@ -97,14 +155,21 @@ class MPCLoop:
 
     # ------------------------------------------------- batched tuning API
     def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
-                     qp_iters, qp_method="pdip", use_pallas=None, mesh=None):
+                     qp_iters, qp_method="pdip", use_pallas=None, mesh=None,
+                     caps=None):
         """``mesh``: shard the candidate axis over a jax.sharding.Mesh —
         the eval runs under shard_map so every device (or host process)
         simulates only its candidate shard and the Pallas engines see
         per-device local batches (the scale-out axis of SURVEY.md §2.6;
-        the reference evaluates candidates serially, MPCTuning.m:89)."""
-        c = self.arrays(dtype)
-        d = self.dims
+        the reference evaluates candidates serially, MPCTuning.m:89).
+        ``caps``: explicit (p_cap, m_cap) capacity bucket (default: derived
+        from the batch via horizon_caps) — see ``capped``."""
+        s = self.ctl.spec
+        if caps is None:
+            caps = horizon_caps(s.p_max, s.m_max, N_b, Nu_b)
+        loop = self.capped(*caps)
+        c = loop.arrays(dtype)
+        d = loop.dims
         statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
                    d["rho"], qp_iters, qp_method, _auto_pallas(use_pallas))
         args = (jnp.asarray(r_b, dtype)[:, :nit], jnp.asarray(v[:nit], dtype),
@@ -119,9 +184,13 @@ class MPCLoop:
             )(c, *args)
 
     def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
-                   qp_iters, use_pallas=None, mesh=None):
-        c = self.arrays(dtype)
-        d = self.dims
+                   qp_iters, use_pallas=None, mesh=None, caps=None):
+        s = self.ctl.spec
+        if caps is None:
+            caps = horizon_caps(s.p_max, s.m_max, N_b, Nu_b)
+        loop = self.capped(*caps)
+        c = loop.arrays(dtype)
+        d = loop.dims
         statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
                    d["rho"], qp_iters, _auto_pallas(use_pallas))
         args = (jnp.asarray(rfin_b, dtype), jnp.asarray(v[nit - 1], dtype),

@@ -62,6 +62,26 @@ class NMPCSpec:
 @dataclasses.dataclass
 class NMPCLoop:
     spec: NMPCSpec
+    _cap_cache: dict = dataclasses.field(default_factory=dict, repr=False,
+                                         compare=False)
+
+    def capped(self, p_cap: int, m_cap: int) -> "NMPCLoop":
+        """Capacity-restricted view (see mpc_loop.MPCLoop.capped): the
+        rollout length and move count shrink to the batch's bucket — the
+        steps beyond max(N)/max(Nu) were fully-masked, so results are
+        unchanged while every candidate solve integrates p_cap (not p_max)
+        ODE steps and factors an (m_cap*nu+1)-sized QP."""
+        s = self.spec
+        if (p_cap, m_cap) == (s.p_max, s.m_max):
+            return self
+        assert p_cap <= s.p_max and m_cap <= s.m_max, (p_cap, m_cap)
+        key = (p_cap, m_cap)
+        hit = self._cap_cache.get(key)
+        if hit is None:
+            hit = NMPCLoop(spec=dataclasses.replace(s, p_max=p_cap,
+                                                    m_max=m_cap))
+            self._cap_cache[key] = hit
+        return hit
 
     # ------------------------------------------------------------ internals
     def _consts(self, dtype):
@@ -77,10 +97,14 @@ class NMPCLoop:
         }
 
     def _statics(self):
+        import jax as _jax
+
         s = self.spec
+        # use_pallas: QP factor/solves ride the lane-major Pallas kernels
+        # under the candidate vmap on TPU (ops/pallas_kernels.spd_factor)
         return (s.p_max, s.m_max, s.ny, s.nu, float(s.rho_eps), s.substeps,
                 s.sqp_iters, s.qp_iters, float(s.Ts), tuple(s.xc),
-                s.integrator)
+                s.integrator, _jax.default_backend() != "cpu")
 
     @staticmethod
     def _check_no_md(v):
@@ -109,39 +133,46 @@ class NMPCLoop:
         return np.asarray(y), np.asarray(u)
 
     def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
-                     qp_iters, mesh=None):
+                     qp_iters, mesh=None, caps=None):
         self._check_no_md(v)
-        c = self._consts(dtype)
+        from mpc_tuning_tpu.sim.mpc_loop import _shard_mapped, horizon_caps
+
+        if caps is None:
+            caps = horizon_caps(self.spec.p_max, self.spec.m_max, N_b, Nu_b)
+        loop = self.capped(*caps)
+        c = loop._consts(dtype)
         args = (jnp.asarray(r_b, dtype)[:, :nit],
                 jnp.asarray(N_b), jnp.asarray(Nu_b),
                 jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype))
         with jax.default_matmul_precision("highest"):
             if mesh is None:
-                return _nmpc_closed_batch(self.spec.rhs, c, *args,
-                                          *self._statics())
-            from mpc_tuning_tpu.sim.mpc_loop import _shard_mapped
-
-            fn = partial(_nmpc_closed_batch, self.spec.rhs)
-            return _shard_mapped(fn, mesh, self._statics(),
+                return _nmpc_closed_batch(loop.spec.rhs, c, *args,
+                                          *loop._statics())
+            fn = partial(_nmpc_closed_batch, loop.spec.rhs)
+            return _shard_mapped(fn, mesh, loop._statics(),
                                  batched_dims=(3, 1, 1, 2, 2),
                                  out_dims=(3, 3))(c, *args)
 
     def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
-                   qp_iters, mesh=None):
+                   qp_iters, mesh=None, caps=None):
         self._check_no_md(v)
-        c = self._consts(dtype)
+        from mpc_tuning_tpu.sim.mpc_loop import _shard_mapped, horizon_caps
+
+        if caps is None:
+            caps = horizon_caps(self.spec.p_max, self.spec.m_max, N_b, Nu_b)
+        loop = self.capped(*caps)
+        c = loop._consts(dtype)
         args = (jnp.asarray(rfin_b, dtype),
                 jnp.asarray(N_b), jnp.asarray(Nu_b),
                 jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype))
-        statics = (nit,) + self._statics()
+        statics = (nit,) + loop._statics()
         with jax.default_matmul_precision("highest"):
             if mesh is None:
-                return _nmpc_open_batch(self.spec.rhs, c, args[0], *args[1:],
-                                        nit, *self._statics())
-            from mpc_tuning_tpu.sim.mpc_loop import _shard_mapped
+                return _nmpc_open_batch(loop.spec.rhs, c, args[0], *args[1:],
+                                        nit, *loop._statics())
 
             def fn(c_, rfin, N, Nu, d, l, nit_, *st):
-                return _nmpc_open_batch(self.spec.rhs, c_, rfin, N, Nu, d, l,
+                return _nmpc_open_batch(loop.spec.rhs, c_, rfin, N, Nu, d, l,
                                         nit_, *st)
 
             return _shard_mapped(fn, mesh, statics,
@@ -171,7 +202,7 @@ def _rollout_y(rhs, x, u_seq, p_max, m_max, substeps, Ts, xc, method):
 
 def _nmpc_control(rhs, c, x, u_prev, rk, N, Nu, delta, lam,
                   p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters,
-                  Ts, xc, method):
+                  Ts, xc, method, use_pallas=False):
     """One nlmpcmove-equivalent solve.  Returns the full du sequence."""
     dtype = x.dtype
     i_idx = jnp.arange(1, p_max + 1)
@@ -219,7 +250,8 @@ def _nmpc_control(rhs, c, x, u_prev, rk, N, Nu, delta, lam,
             (Yf - jnp.tile(c["ymin"], (p_max,))) * en_y_lo[:, 0] + (1 - en_y_lo[:, 0]),
             jnp.zeros(1, dtype),
         ])
-        z, _, _ = solve_qp(H, f, G, h, iters=qp_iters)
+        z, _, _ = solve_qp(H, f, G, h, iters=qp_iters,
+                           use_pallas=use_pallas)
         return du_flat + z[:-1] * cmask_flat, None
 
     du0 = jnp.zeros(m_max * nu, dtype)
@@ -229,7 +261,7 @@ def _nmpc_control(rhs, c, x, u_prev, rk, N, Nu, delta, lam,
 
 def nmpc_closed_core(rhs, c, r, N, Nu, delta, lam,
                      p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters,
-                     Ts, xc, method="rk4"):
+                     Ts, xc, method="rk4", use_pallas=False):
     """closedloop_toolbox_nmpc.m:60-75: u(i) from state x(i-1), then
     integrate; Y(:,1) = x0(xc)."""
     dtype = r.dtype
@@ -240,7 +272,7 @@ def nmpc_closed_core(rhs, c, r, N, Nu, delta, lam,
         du_flat, col_mask = _nmpc_control(
             rhs, c, x, u_prev, rk, N, Nu, delta, lam,
             p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters, Ts, xc,
-            method)
+            method, use_pallas)
         du0 = (du_flat.reshape(m_max, nu) * col_mask[:, None])[0]
         u = u_prev + du0
         x_next = integrate(rhs, x, u, Ts, substeps, method)
@@ -255,14 +287,14 @@ def nmpc_closed_core(rhs, c, r, N, Nu, delta, lam,
 
 def nmpc_open_core(rhs, c, r_final, N, Nu, delta, lam, nit,
                    p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters,
-                   Ts, xc, method="rk4"):
+                   Ts, xc, method="rk4", use_pallas=False):
     """closedloop_toolbox_nmpc.m:77-94: one solve at (x0, u0) with the final
     setpoint; play MVopt (held) through the ODE."""
     dtype = r_final.dtype
     du_flat, col_mask = _nmpc_control(
         rhs, c, c["x0"], c["u0"], r_final, N, Nu, delta, lam,
         p_max, m_max, ny, nu, rho, substeps, sqp_iters, qp_iters, Ts, xc,
-        method)
+        method, use_pallas)
     u_seq = _u_sequence(du_flat, c["u0"], col_mask, m_max, nu)
     idx = jnp.clip(jnp.arange(nit - 1), 0, m_max - 1)
     # hold beyond the control horizon: clamp to the last *active* move
@@ -281,11 +313,11 @@ def nmpc_open_core(rhs, c, r_final, N, Nu, delta, lam, nit,
     return yopt, uopt_full
 
 
-_nmpc_closed = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 18)))(nmpc_closed_core)
+_nmpc_closed = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 19)))(nmpc_closed_core)
 
-_nmpc_closed_batch = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 18)))(
+_nmpc_closed_batch = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 19)))(
     jax.vmap(nmpc_closed_core,
-             in_axes=(None, None, 0, 0, 0, 0, 0) + (None,) * 11)
+             in_axes=(None, None, 0, 0, 0, 0, 0) + (None,) * 12)
 )
 
 
@@ -293,7 +325,7 @@ def _open_with_nit(rhs, c, rfin, N, Nu, delta, lam, nit, *statics):
     return nmpc_open_core(rhs, c, rfin, N, Nu, delta, lam, nit, *statics)
 
 
-_nmpc_open_batch = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 19)))(
+_nmpc_open_batch = partial(jax.jit, static_argnums=(0,) + tuple(range(7, 20)))(
     jax.vmap(_open_with_nit,
-             in_axes=(None, None, 0, 0, 0, 0, 0) + (None,) * 12)
+             in_axes=(None, None, 0, 0, 0, 0, 0) + (None,) * 13)
 )

@@ -73,10 +73,11 @@ def resolve_qp_method(method: str, band: bool = False,
         # run, and an mc-heavy shape (any with_y case) would compile-OOM the
         # fused kernel — return the always-viable lanes engine instead
         return "pdip_ws_lanes"
-    # GAM stage / band cases: fused whole-PDIP, but only where its shared
-    # T2T table fits VMEM — the Shell7x5 tuning shape (mc_pad=1960) needs
-    # 18 MB for T2T alone (measured compile OOM) and falls back to the
-    # per-op lanes engine
+    # GAM stage / band cases: fused whole-PDIP where the shared T2T table
+    # fits the real ~96 MB VMEM budget (every tuning shape does, incl.
+    # Shell7x5's 18 MB table at full shape — and the production path caps
+    # shapes far below that, sim/mpc_loop.capped); the guard still covers
+    # engineered shapes past the budget
     if shape is not None:
         from mpc_tuning_tpu.ops.qp import fused_pdip_viable
 
@@ -147,7 +148,17 @@ class TuningProblem:
             padded.append(p)
         return shard_candidates(self.mesh, *padded), B
 
+    def _caps(self, N_b, Nu_b):
+        """Capacity bucket for this batch, decided on host BEFORE sharding
+        (multi-host shards are not host-readable) — see
+        sim/mpc_loop.horizon_caps."""
+        from mpc_tuning_tpu.sim.mpc_loop import horizon_caps
+
+        s = self.loop.ctl.spec if hasattr(self.loop, "ctl") else self.loop.spec
+        return horizon_caps(s.p_max, s.m_max, N_b, Nu_b)
+
     def closed_batch(self, r_b, N_b, Nu_b, delta_b, lam_b, stage="gam"):
+        caps = self._caps(N_b, Nu_b)
         (r_b, N_b, Nu_b, delta_b, lam_b), B = self._maybe_shard(
             np.asarray(r_b, dtype=np.float64), N_b, Nu_b, delta_b, lam_b
         )
@@ -155,14 +166,17 @@ class TuningProblem:
         iters = self.qp_iters
         if hasattr(self.loop, "ctl"):  # linear engine supports qp_method
             raw = self.vns_qp_method if stage == "vns" else self.qp_method
+            # engine viability (VMEM guards, lane widths) is judged at the
+            # CAPPED shape the batch will actually run at
             m = resolve_qp_method(raw, band=bool(np.any(self.band_mask)),
-                                  stage=stage, dims=self.loop.dims)
+                                  stage=stage,
+                                  dims=self.loop.capped(*caps).dims)
             kw["qp_method"] = m
             if m.split("@")[0].split("/")[0] in ("admm", "admm_fused"):
                 iters = self.admm_iters
         Y, U = self.loop.closed_batch(
             jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
-            self.nit, self.dtype, iters, mesh=self.mesh, **kw,
+            self.nit, self.dtype, iters, mesh=self.mesh, caps=caps, **kw,
         )
         if B is not None:
             Y, U = self._gather(Y, B), self._gather(U, B)
@@ -178,12 +192,13 @@ class TuningProblem:
         return np.asarray(a)[:B]
 
     def open_batch(self, rfin_b, N_b, Nu_b, delta_b, lam_b):
+        caps = self._caps(N_b, Nu_b)
         (rfin_b, N_b, Nu_b, delta_b, lam_b), B = self._maybe_shard(
             np.asarray(rfin_b, dtype=np.float64), N_b, Nu_b, delta_b, lam_b
         )
         Y, U = self.loop.open_batch(
             jnp.asarray(rfin_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
-            self.nit, self.dtype, self.qp_iters, mesh=self.mesh,
+            self.nit, self.dtype, self.qp_iters, mesh=self.mesh, caps=caps,
         )
         if B is not None:
             Y, U = self._gather(Y, B), self._gather(U, B)
