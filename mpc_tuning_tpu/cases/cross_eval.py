@@ -221,12 +221,16 @@ def cross_eval_case(name: str, qp_iters: int | None = None) -> dict:
             from mpc_tuning_tpu.cases.verify_horizons import verify_horizons
 
             v_const = problem.v[-1] if problem.v.shape[1] else None
+            band = bool(np.any(problem.band_mask))
+            vkw = dict(v_const=v_const,
+                       qp_method="pdip+split15" if band else "pdip",
+                       qp_iters=problem.qp_iters)
             chk = verify_horizons(problem.loop, np.diag(ref.L), int(repo.N),
-                                  int(repo.Nu.max()), d, l, v_const=v_const)
+                                  int(repo.Nu.max()), d, l, **vkw)
             out["horizon_check"] = chk.as_json()
             chk_r = verify_horizons(problem.loop, np.diag(ref.L), int(ref.N),
                                     int(ref.Nu.max()), ref.delta, ref.lam,
-                                    v_const=v_const)
+                                    **vkw)
             out["horizon_check_ref"] = chk_r.as_json()
     return out
 

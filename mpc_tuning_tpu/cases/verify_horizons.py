@@ -43,7 +43,8 @@ class HorizonCheck:
 def verify_horizons(loop: MPCLoop, L: np.ndarray, N: int, Nu: int,
                     delta, lam, nit: int | None = None,
                     dtype=None, v_const: np.ndarray | None = None,
-                    pulse: int = 5) -> HorizonCheck:
+                    pulse: int = 5, qp_method: str = "pdip",
+                    qp_iters: int = 30) -> HorizonCheck:
     """Run the protocol at the tuned horizons (conditioned units)."""
     import jax.numpy as jnp
 
@@ -69,9 +70,13 @@ def verify_horizons(loop: MPCLoop, L: np.ndarray, N: int, Nu: int,
             sel = np.zeros(ny)
             sel[i] = 1.0
             r = np.tile(r_unit * sel, (nit, 1))
-            yc, uc = loop.simulate(r, v, nit, N, Nu, delta, lam, dtype=dtype)
+            yc, uc = loop.simulate(r, v, nit, N, Nu, delta, lam,
+                                   dtype=dtype, qp_method=qp_method,
+                                   qp_iters=qp_iters)
             yo, uo = loop.open_loop(r_unit * sel, v[-1], v, nit, N, Nu,
-                                    delta, lam, dtype=dtype)
+                                    delta, lam, dtype=dtype,
+                                    qp_iters=qp_iters,
+                                    qp_split=qp_method.endswith("+split"))
             y_c[i] = yc[:, i]
             y_o[i] = yo[:, i]
             j = min(i, nu - 1)
@@ -82,9 +87,11 @@ def verify_horizons(loop: MPCLoop, L: np.ndarray, N: int, Nu: int,
         # the first `pulse` samples, MD held, ONE closed + open sim
         r = np.zeros((nit, ny))
         r[:pulse] = r_unit
-        yc, uc = loop.simulate(r, v, nit, N, Nu, delta, lam, dtype=dtype)
+        yc, uc = loop.simulate(r, v, nit, N, Nu, delta, lam, dtype=dtype,
+                               qp_method=qp_method, qp_iters=qp_iters)
         yo, uo = loop.open_loop(r[-1], v[-1], v, nit, N, Nu, delta, lam,
-                                dtype=dtype)
+                                dtype=dtype, qp_iters=qp_iters,
+                                qp_split=qp_method.endswith("+split"))
         y_c, y_o = yc.T, yo.T
         u_c, u_o = uc.T, uo.T
 

@@ -184,7 +184,8 @@ class MPCLoop:
             )(c, *args)
 
     def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
-                   qp_iters, use_pallas=None, mesh=None, caps=None):
+                   qp_iters, use_pallas=None, mesh=None, caps=None,
+                   qp_split=False):
         s = self.ctl.spec
         if caps is None:
             caps = horizon_caps(s.p_max, s.m_max, N_b, Nu_b)
@@ -192,7 +193,8 @@ class MPCLoop:
         c = loop.arrays(dtype)
         d = loop.dims
         statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
-                   d["rho"], qp_iters, _auto_pallas(use_pallas))
+                   d["rho"], qp_iters, _auto_pallas(use_pallas),
+                   bool(qp_split))
         args = (jnp.asarray(rfin_b, dtype), jnp.asarray(v[nit - 1], dtype),
                 jnp.asarray(v[:nit], dtype),
                 jnp.asarray(N_b), jnp.asarray(Nu_b),
@@ -224,7 +226,8 @@ class MPCLoop:
         return np.asarray(y), np.asarray(u)
 
     def open_loop(self, r_final, v_final, v_traj, nit, N, Nu, delta, lam,
-                  dtype=jnp.float64, qp_iters: int = 30):
+                  dtype=jnp.float64, qp_iters: int = 30,
+                  qp_split: bool = False):
         """Single-shot optimal sequence from rest played through the model.
         Returns (ys, uopt) conditioned, shapes (nit, ny), (nit, nu)."""
         c = self.arrays(dtype)
@@ -236,7 +239,7 @@ class MPCLoop:
             jnp.asarray(N), jnp.asarray(Nu),
             jnp.asarray(delta, dtype), jnp.asarray(lam, dtype),
             d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
-            qp_iters,
+            qp_iters, False, bool(qp_split),
         )
         return np.asarray(ys), np.asarray(uopt)
 
@@ -245,7 +248,7 @@ class MPCLoop:
 
 
 def parse_qp_method(qp_method: str):
-    """Split a qp_method spec into (base, fused_lanes, fused_solve).
+    """Split a qp_method spec into (base, fused_lanes, fused_solve, split).
 
     The fused engine's compile-time knobs are threaded EXPLICITLY through
     the method string (no environment reads on the solver path):
@@ -253,15 +256,61 @@ def parse_qp_method(qp_method: str):
       'pdip_ws_fused@256'        -> 256-lane blocks
       'pdip_ws_fused/subst'      -> serial-substitution solves
       'pdip_ws_fused@256/subst'  -> both
+      '<any pdip engine>+split[N]' -> two-stage eps-split solve (band
+          cases; N = stage-2 iteration count, default = qp_iters):
+          stage 1 = the joint QP (pins the ECR slack, which lives in the
+          well-conditioned rho_eps subspace); stage 2 re-solves with the
+          slack FROZEN into the band rows' rhs and its column masked.
+          Joint interior points stall ~5e-2 from the optimum on band
+          steps where a large optimal slack (rho*eps^2 ~ 1e6) coexists
+          with tiny move curvature (lambda^2 ~ 3e-4) — the split solves
+          each scale in its own subproblem (measured 2e-8 vs the
+          KKT-certified exact solution on the stall instance).
     """
     base = qp_method
+    split = 0
+    if "+split" in base:
+        base, tail = base.split("+split", 1)
+        split = int(tail) if tail else -1  # -1: stage 2 reuses qp_iters
     lanes, solve = 128, "trinv"
     if "/" in base:
         base, solve = base.split("/", 1)
     if "@" in base:
         base, lanes_s = base.split("@", 1)
         lanes = int(lanes_s)
-    return base, lanes, solve
+    return base, lanes, solve, split
+
+
+def _eps_split_stage2(solve_fn, z1, lam1, s1, c, cand, h, stage2_iters):
+    """Stage 2 of the eps-split band solve (see parse_qp_method): freeze
+    the ECR slack, fold it into the constraint rhs via the shared G0
+    slack column, mask the slack variable, and re-solve warm-started.
+
+    The frozen value ehat is stage 1's slack PLUS stage 1's own residual
+    soft-row violation mapped through the ECR coefficients — so the point
+    (du_1, ehat) is feasible for stage 2 BY CONSTRUCTION even when
+    stage 1 stalled with its slack underestimated (the degenerate band
+    steps where every joint interior point in the family stalls;
+    measured: freezing the raw slack left stage 2 ~0.2 infeasible there).
+    Exact up to the margin: the slack lives in the well-conditioned
+    rho_eps subspace, and du re-solves without the ~1e10 objective-scale
+    spread (2e-8 vs the KKT-certified exact solution on the stall
+    instance)."""
+    slack_col = c["G0"][:, -1]
+    # stage-1 residual violation of the soft rows, per unit of slack
+    Gz1 = cand["rmask"] * ((cand["cmask_z"] * z1) @ c["G0"].T)
+    viol = jnp.maximum(Gz1 - h, 0.0)
+    V = jnp.maximum(-slack_col, 0.0)
+    extra = jnp.max(jnp.where(V > 1e-12, viol / jnp.maximum(V, 1e-12), 0.0),
+                    axis=-1)
+    ehat = ((jnp.maximum(z1[..., -1], 0.0) + extra) * (1.0 + 1e-6) + 1e-8)
+    # masked rows keep h unchanged only in effect (rmask zeroes their G
+    # rows; their h shift is harmless and keeps s = h2 > 0)
+    h2 = h - slack_col * cand["rmask"] * ehat[..., None]
+    cmask2 = cand["cmask_z"].at[-1].set(0.0)
+    z0 = z1.at[..., -1].set(0.0)
+    z2, _, _ = solve_fn(h2, cmask2, (z0, lam1, s1), stage2_iters)
+    return z2
 
 
 def closed_loop_core(c, r, v, N, Nu, delta, lam,
@@ -278,7 +327,7 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                iterations, the TPU-fast path (qp_iters = ADMM iterations).
     """
     dtype = r.dtype
-    qp_method, fused_lanes, fused_solve = parse_qp_method(qp_method)
+    qp_method, fused_lanes, fused_solve, qp_split = parse_qp_method(qp_method)
     cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
                               rho, with_y)
     nxa = c["A"].shape[0]
@@ -316,25 +365,45 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
             # zero transposes per iteration (ops/qp.solve_qp_masked_lanes);
             # 'pdip_ws_fused' runs ALL iterations inside ONE Pallas kernel
             # call per step (ops/pallas_kernels.pdip_fused_lanes)
-            z, lam_w, s_w = solve_qp_masked_fast(
-                cand["H"], f, c["G0"], c["T2"], cand["rmask"],
-                cand["cmask_z"], h, qp_iters, use_pallas, ws,
-                engine="fused" if qp_method == "pdip_ws_fused" else "lanes",
-                block_lanes=fused_lanes, solve_mode=fused_solve)
+            def _solve(h_, cmask_, init_, iters_=qp_iters):
+                return solve_qp_masked_fast(
+                    cand["H"], f, c["G0"], c["T2"], cand["rmask"],
+                    cmask_, h_, iters_, use_pallas, init_,
+                    engine="fused" if qp_method == "pdip_ws_fused"
+                    else "lanes",
+                    block_lanes=fused_lanes, solve_mode=fused_solve)
+
+            z, lam_w, s_w = _solve(h, cand["cmask_z"], ws)
             ws = (z, lam_w, s_w)
+            if qp_split:
+                z = _eps_split_stage2(_solve, z, lam_w, s_w, c, cand, h,
+                                      qp_split if qp_split > 0 else qp_iters)
         elif qp_method == "pdip_ws":
-            z, lam_w, s_w = solve_qp_masked(
-                cand["H"], f, c["G0"], c["T2"], cand["rmask"],
-                cand["cmask_z"], h, iters=qp_iters, use_pallas=use_pallas,
-                init=ws)
+            def _solve(h_, cmask_, init_, iters_=qp_iters):
+                return solve_qp_masked(
+                    cand["H"], f, c["G0"], c["T2"], cand["rmask"],
+                    cmask_, h_, iters=iters_, use_pallas=use_pallas,
+                    init=init_)
+
+            z, lam_w, s_w = _solve(h, cand["cmask_z"], ws)
             ws = (z, lam_w, s_w)
+            if qp_split:
+                z = _eps_split_stage2(_solve, z, lam_w, s_w, c, cand, h,
+                                      qp_split if qp_split > 0 else qp_iters)
         elif qp_method == "pdip_dense":
             z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters,
                                use_pallas=use_pallas)
         elif qp_method == "pdip":  # cold-start structured PDIP (reference-accurate)
-            z, _, _ = solve_qp_masked(
-                cand["H"], f, c["G0"], c["T2"], cand["rmask"],
-                cand["cmask_z"], h, iters=qp_iters, use_pallas=use_pallas)
+            def _solve(h_, cmask_, init_, iters_=qp_iters):
+                return solve_qp_masked(
+                    cand["H"], f, c["G0"], c["T2"], cand["rmask"],
+                    cmask_, h_, iters=iters_, use_pallas=use_pallas,
+                    init=init_)
+
+            z, lam1, s1 = _solve(h, cand["cmask_z"], None)
+            if qp_split:
+                z = _eps_split_stage2(_solve, z, lam1, s1, c, cand, h,
+                                      qp_split if qp_split > 0 else qp_iters)
         else:  # trace-time guard: a typo'd engine must not silently run pdip
             raise ValueError(
                 f"unknown qp_method {qp_method!r}; use 'auto' via "
@@ -372,7 +441,7 @@ closed_loop_batch = partial(jax.jit, static_argnums=tuple(range(7, 16)))(
 
 def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
                    p_max, m_max, ny, nu, with_y, rho, qp_iters,
-                   use_pallas=False):
+                   use_pallas=False, qp_split=False):
     dtype = r_final.dtype
     cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
                               rho, with_y)
@@ -388,9 +457,15 @@ def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
 
     f, h, _ = qp_step_data(c, cand, x_hat, u_prev, r_s, v_s,
                            p_max, m_max, ny, nu, with_y)
-    z, _, _ = solve_qp_masked(cand["H"], f, c["G0"], c["T2"], cand["rmask"],
-                              cand["cmask_z"], h, iters=qp_iters,
-                              use_pallas=use_pallas)
+
+    def _solve(h_, cmask_, init_, iters_=qp_iters):
+        return solve_qp_masked(cand["H"], f, c["G0"], c["T2"],
+                               cand["rmask"], cmask_, h_, iters=iters_,
+                               use_pallas=use_pallas, init=init_)
+
+    z, lam1, s1 = _solve(h, cand["cmask_z"], None)
+    if qp_split:  # band cases: two-stage eps-split (see parse_qp_method)
+        z = _eps_split_stage2(_solve, z, lam1, s1, c, cand, h, qp_iters)
     du_seq = (z[:-1] * cand["cmask_flat"]).reshape(m_max, nu)
     u_seq = jnp.cumsum(du_seq, axis=0) * c["sf_u"][None, :]  # (m_max, nu)
 
@@ -411,9 +486,9 @@ def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
     return ys, uopt
 
 
-_open_loop = partial(jax.jit, static_argnums=tuple(range(8, 16)))(open_loop_core)
+_open_loop = partial(jax.jit, static_argnums=tuple(range(8, 17)))(open_loop_core)
 
-open_loop_batch = partial(jax.jit, static_argnums=tuple(range(8, 16)))(
+open_loop_batch = partial(jax.jit, static_argnums=tuple(range(8, 17)))(
     jax.vmap(open_loop_core,
-             in_axes=(None, 0, None, None, 0, 0, 0, 0) + (None,) * 8)
+             in_axes=(None, 0, None, None, 0, 0, 0, 0) + (None,) * 9)
 )

@@ -55,12 +55,28 @@ def resolve_qp_method(method: str, band: bool = False,
         return method
     import jax
 
-    if jax.default_backend() == "cpu":
-        return "pdip_ws_lanes"
     shape = None
     if dims is not None:
         shape = (dims["p_max"], dims["m_max"], dims["ny"], dims["nu"],
                  dims["with_y"])
+    if jax.default_backend() == "cpu":
+        return "pdip_ws_lanes+split15" if band else "pdip_ws_lanes"
+    if band:
+        # band cases: PDIP with the two-stage eps-split (joint interior
+        # points stall ~5e-2 from the exact optimum where a large ECR
+        # slack coexists with tiny move curvature — sim/mpc_loop
+        # parse_qp_method); fused on TPU, lanes-jnp on CPU
+        base = "pdip_ws_fused"
+        if shape is not None:
+            from mpc_tuning_tpu.ops.qp import fused_pdip_viable
+
+            if not fused_pdip_viable(*shape):
+                base = "pdip_ws_lanes"
+        # stage 1 runs the full qp_iters (it must pin the ECR slack on the
+        # degenerate steps — 45 iters measurably fails); stage 2 converges
+        # in 15 on the well-conditioned slack-frozen subproblem (certified
+        # du agreement 5e-44, tests/test_band_oracle.py)
+        return base + "+split15"
     if stage == "vns" and not band:
         if shape is not None:
             from mpc_tuning_tpu.ops.qp import admm_fused_max_lanes
@@ -196,9 +212,13 @@ class TuningProblem:
         (rfin_b, N_b, Nu_b, delta_b, lam_b), B = self._maybe_shard(
             np.asarray(rfin_b, dtype=np.float64), N_b, Nu_b, delta_b, lam_b
         )
+        kw = {}
+        if hasattr(self.loop, "ctl"):
+            kw["qp_split"] = bool(np.any(self.band_mask))
         Y, U = self.loop.open_batch(
             jnp.asarray(rfin_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
             self.nit, self.dtype, self.qp_iters, mesh=self.mesh, caps=caps,
+            **kw,
         )
         if B is not None:
             Y, U = self._gather(Y, B), self._gather(U, B)

@@ -11,12 +11,17 @@ S7 = dict(p_max=127, m_max=15, ny=7, nu=3, with_y=True, rho=1e5)
 
 
 def test_parse_qp_method_specs():
-    assert parse_qp_method("pdip_ws_fused") == ("pdip_ws_fused", 128, "trinv")
-    assert parse_qp_method("pdip_ws_fused@256") == ("pdip_ws_fused", 256, "trinv")
-    assert parse_qp_method("pdip_ws_fused/subst") == ("pdip_ws_fused", 128, "subst")
-    assert parse_qp_method("pdip_ws_fused@256/subst") == ("pdip_ws_fused", 256, "subst")
-    assert parse_qp_method("admm_fused@512") == ("admm_fused", 512, "trinv")
-    assert parse_qp_method("admm") == ("admm", 128, "trinv")
+    assert parse_qp_method("pdip_ws_fused") == ("pdip_ws_fused", 128, "trinv", 0)
+    assert parse_qp_method("pdip_ws_fused@256") == ("pdip_ws_fused", 256, "trinv", 0)
+    assert parse_qp_method("pdip_ws_fused/subst") == ("pdip_ws_fused", 128, "subst", 0)
+    assert parse_qp_method("pdip_ws_fused@256/subst") == ("pdip_ws_fused", 256, "subst", 0)
+    assert parse_qp_method("admm_fused@512") == ("admm_fused", 512, "trinv", 0)
+    assert parse_qp_method("admm") == ("admm", 128, "trinv", 0)
+    # +split = two-stage eps-split: -1 reuses qp_iters for stage 2,
+    # +splitN runs N stage-2 iterations
+    assert parse_qp_method("pdip_ws_fused+split") == ("pdip_ws_fused", 128, "trinv", -1)
+    assert parse_qp_method("pdip_ws_lanes+split15") == ("pdip_ws_lanes", 128, "trinv", 15)
+    assert parse_qp_method("pdip_ws_fused@256/subst+split") == ("pdip_ws_fused", 256, "subst", -1)
 
 
 def test_fused_pdip_vmem_viability():
@@ -53,8 +58,12 @@ def test_auto_resolution_on_tpu_backend(monkeypatch):
     assert resolve_qp_method("auto", stage="vns", dims=S3) == "admm_fused@512"
     assert resolve_qp_method("auto", stage="vns", dims=S7) == "admm_fused@512"
     # band control never runs ADMM (documented stall on the ECR band QP)
+    # and always two-stage eps-splits (joint IPMs stall on the band scale
+    # mix — sim/mpc_loop.parse_qp_method)
     assert resolve_qp_method("auto", stage="vns", band=True,
-                             dims=S7) == "pdip_ws_fused"
+                             dims=S7) == "pdip_ws_fused+split15"
+    assert resolve_qp_method("auto", stage="gam", band=True,
+                             dims=S7) == "pdip_ws_fused+split15"
     assert resolve_qp_method("auto", stage="gam", dims=WB) == "pdip_ws_fused"
     assert resolve_qp_method("auto", stage="gam", dims=S3) == "pdip_ws_fused"
     # Shell7x5 now VMEM-viable for the fused PDIP (round-4 probe + raised
@@ -66,9 +75,10 @@ def test_auto_resolution_on_cpu_backend():
     """On the CPU test backend every stage resolves to the f64-grade
     lane-major jnp engine (the parity/cross-eval frame)."""
     for stage in ("gam", "vns"):
-        for band in (False, True):
-            assert resolve_qp_method("auto", band=band, stage=stage,
-                                     dims=WB) == "pdip_ws_lanes"
+        assert resolve_qp_method("auto", band=False, stage=stage,
+                                 dims=WB) == "pdip_ws_lanes"
+        assert resolve_qp_method("auto", band=True, stage=stage,
+                                 dims=WB) == "pdip_ws_lanes+split15"
     # explicit names always pass through
     assert resolve_qp_method("admm", stage="vns") == "admm"
     assert resolve_qp_method("pdip_ws_fused@256") == "pdip_ws_fused@256"

@@ -234,3 +234,98 @@ def shell3x3_conditioned_data(Lc: np.ndarray, Rc: np.ndarray):
                    [20.0, 22.0, 0.0]])
     scale = np.outer(Lc, Rc)
     return (K0 * scale, tau, L0)
+
+
+def shell7x5_conditioned_data(Lc: np.ndarray, Rc: np.ndarray,
+                              mismatch: bool = False):
+    """Shell 7x5 [G D] FOPDT data (Shell7x5.m:46-86), conditioned
+    K' = L K R over the FULL 7x5 input set (3 MV + 2 MD).  ``mismatch``
+    applies the model-error case e1..e5 = (0.2, 0.2, 0.3, 0.5, 0.5)
+    (Shell7x5.m:37-42) to the GAINS (delays/poles unchanged)."""
+    e1 = e2 = e3 = e4 = e5 = 0.0
+    if mismatch:
+        e1, e2, e3, e4, e5 = 0.2, 0.2, 0.3, 0.5, 0.5
+    K0 = np.array([
+        [4.05 + 2.11 * e1, 1.77 + 0.39 * e2, 5.88 + 0.59 * e3,
+         1.20 + 0.12 * e4, 1.44 + 0.16 * e5],
+        [5.39 + 3.29 * e1, 5.72 + 0.57 * e2, 6.90 + 0.89 * e3,
+         1.52 + 0.13 * e4, 1.83 + 0.13 * e5],
+        [3.66 + 2.29 * e1, 1.65 + 0.35 * e2, 5.53 + 0.67 * e3,
+         1.16 + 0.08 * e4, 1.27 + 0.08 * e5],
+        [5.92 + 2.34 * e1, 2.54 + 0.24 * e2, 8.10 + 0.32 * e3,
+         1.73 + 0.02 * e4, 1.79 + 0.04 * e5],
+        [4.13 + 1.71 * e1, 2.38 + 0.93 * e2, 6.23 + 0.30 * e3,
+         1.31 + 0.03 * e4, 1.26 + 0.02 * e5],
+        [4.06 + 2.39 * e1, 4.18 + 0.35 * e2, 6.53 + 0.72 * e3,
+         1.19 + 0.08 * e4, 1.17 + 0.01 * e5],
+        [4.38 + 3.11 * e1, 4.42 + 0.73 * e2, 7.20 + 1.33 * e3,
+         1.14 + 0.18 * e4, 1.26 + 0.10 * e5],
+    ])
+    tau = np.array([
+        [50.0, 60.0, 50.0, 45.0, 40.0],
+        [50.0, 60.0, 40.0, 25.0, 20.0],
+        [9.0, 30.0, 40.0, 11.0, 6.0],
+        [12.0, 27.0, 20.0, 5.0, 19.0],
+        [8.0, 19.0, 10.0, 2.0, 22.0],
+        [13.0, 33.0, 9.0, 19.0, 24.0],
+        [33.0, 44.0, 19.0, 24.0, 32.0],
+    ])
+    L0 = np.array([
+        [27.0, 28.0, 27.0, 27.0, 27.0],
+        [18.0, 14.0, 15.0, 15.0, 15.0],
+        [2.0, 20.0, 2.0, 0.0, 0.0],
+        [11.0, 12.0, 2.0, 0.0, 0.0],
+        [5.0, 7.0, 2.0, 0.0, 0.0],
+        [8.0, 4.0, 1.0, 0.0, 0.0],
+        [20.0, 22.0, 0.0, 0.0, 0.0],
+    ])
+    scale = np.outer(Lc, Rc)
+    return (K0 * scale, tau, L0)
+
+
+def band_qp_assemble(Theta, free, r_k, u_prev, lam_eff, umax_c, v_eff,
+                     ymin_c, ymax_c, rho_eps, N, Nu, ny, nu,
+                     delta_eff=None):
+    """Condensed band-control QP in CONDITIONED units, assembled from the
+    documented MATLAB MPC formulation (soft output bands with a single ECR
+    slack, hard u box, moves blocked after Nu; Shell7x5.m:100-189
+    settings).  Decision z = [du (Nu*nu); eps].
+
+    Scaled->conditioned weight map: the toolbox weights act on
+    ScaleFactor-scaled variables, so lam_eff = lam/sf_u, v_eff = V*sf_y,
+    delta_eff = delta/sf_y (band case: delta == 0).
+    Returns (H, f, G, h)."""
+    nz = Nu * nu + 1
+    Rw = np.diag(np.tile(np.asarray(lam_eff) ** 2, Nu))
+    H = np.zeros((nz, nz))
+    if delta_eff is not None and np.any(np.asarray(delta_eff) != 0.0):
+        Q = np.diag(np.tile(np.asarray(delta_eff) ** 2, N))
+        H[:-1, :-1] = 2.0 * (Theta.T @ Q @ Theta + Rw)
+        e = (r_k[None, :] - free).reshape(-1)
+        f_du = -2.0 * (Theta.T @ Q @ e)
+    else:
+        H[:-1, :-1] = 2.0 * Rw
+        f_du = np.zeros(Nu * nu)
+    H[-1, -1] = 2.0 * rho_eps
+    f = np.concatenate([f_du, [0.0]])
+
+    Tcum = np.kron(np.tril(np.ones((Nu, Nu))), np.eye(nu))
+    zc = np.zeros((Nu * nu, 1))
+    vmax_col = np.tile(v_eff, N).reshape(-1, 1)
+    free_flat = free.reshape(-1)
+    G = np.vstack([
+        np.hstack([Tcum, zc]),                       # u <= umax
+        np.hstack([-Tcum, zc]),                      # -u <= umax
+        np.hstack([Theta, -vmax_col]),               # y <= ymax + eps*V
+        np.hstack([-Theta, -vmax_col]),              # -y <= -ymin + eps*V
+        np.zeros((1, nz)),                           # -eps <= 0
+    ])
+    G[-1, -1] = -1.0
+    h = np.concatenate([
+        np.tile(umax_c - u_prev, Nu),
+        np.tile(umax_c + u_prev, Nu),
+        np.tile(ymax_c, N) - free_flat,
+        free_flat - np.tile(ymin_c, N),
+        [0.0],
+    ])
+    return H, f, G, h
