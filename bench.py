@@ -374,8 +374,10 @@ def main():
             "matmul_precision": "highest",
             "engine_policy": "production auto: VNS tracking = fused "
                              "whole-ADMM (qualification: checkpoints/"
-                             "qp_engine_qualification.json); GAM + band "
-                             "cases = fused whole-PDIP",
+                             "qp_engine_qualification.json); GAM = fused "
+                             "whole-PDIP; band = fused PDIP +split15 "
+                             "(f32 band rows are engine-throughput only; "
+                             "band decisions finalize at f64, PARITY.md)",
             "seconds_per_batch": round(dt, 4),
             "qp_solves_per_s_chip": round(qp_solves_per_s, 0),
             "qp_p50_latency_us": round(qp_p50_us, 1),

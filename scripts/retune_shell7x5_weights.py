@@ -7,13 +7,16 @@ gamma advantage evaporated (it was scored on stalled trajectories), so
 this script re-searches the MVRate weights lambda at the incumbent
 horizons, on BOTH tuner objectives:
 
-  phase 1 (accelerator, f32): log-space lambda sweep, batched per-output
-          SSE -> gamma = max_i (SSE_i - goal)/w_i  (MPC_TFob.m:61-67);
+  phase 1: log-space lambda sweep, batched per-output SSE ->
+          gamma = max_i (SSE_i - goal)/w_i  (MPC_TFob.m:61-67);
   phase 2: F_vns (VNS2.m:195) for the gamma-shortlist (per-lambda calls);
   phase 3: Chebyshev knee selection vs the run's own ideal point
           (the tuner's joint polish criterion, tuning/api);
-  phase 4 (CPU, f64): verify the knee on both objectives vs the
-          reference-tuned artifact and save the refscale checkpoint.
+  phase 4: save the refscale checkpoint (cross-eval re-scores both sides
+          fresh on the same engine).
+
+Everything runs on CPU/f64: the f32 band loop is screening-grade only
+(PARITY.md round-4 note — it can diverge where f64 is stable).
 
 Run:  python scripts/retune_shell7x5_weights.py
 """
@@ -23,11 +26,17 @@ import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import json
-import subprocess
 import time
 
 import numpy as np
 import jax
+
+# band decisions are finalized at f64 (PARITY.md): the f32 band loop can
+# DIVERGE where f64 is stable (measured round 4: SSE_y1 5615 at f32 vs
+# 0.0028 at f64 on the same point), so this search runs on CPU/f64.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 
 from mpc_tuning_tpu.cases import shell7x5
@@ -60,10 +69,10 @@ def main():
     lams = []
     for a in anchors:
         lams.append(a)
-        for _ in range(40):
+        for _ in range(16):
             lams.append(np.exp(np.log(np.maximum(a, 1e-4))
-                               + rng.normal(0, 1.2, 3)))
-    for _ in range(69):
+                               + rng.normal(0, 1.0, 3)))
+    for _ in range(13):
         lams.append(np.exp(rng.uniform(np.log(1e-3), np.log(5.0), 3)))
     lams = np.clip(np.asarray(lams), 1e-4, 50.0)
     X = np.hstack([np.tile(delta0, (len(lams), 1)), lams])
@@ -77,7 +86,7 @@ def main():
 
     # ---- phase 2: F_vns for the gamma shortlist + anchors
     order = np.argsort(g)
-    short = list(order[:16]) + [0, 1]  # + anchors ref/repo
+    short = sorted(set(list(order[:10]) + [0, 1]))  # + anchors ref/repo
     F = {}
     for i in short:
         Fi = vns_objective_batch(problem, np.array([N]), np.array([Numax]),
