@@ -42,16 +42,23 @@ FAILS = []
 
 def run_case(out, tag, problem, B, nit, iters, methods, f64_method,
              rng_seed=0, delta_ref=None, lam_lo=0.01, lam_hi=0.5):
+    from mpc_tuning_tpu.sim.mpc_loop import horizon_caps
+
     loop = problem.loop
+    rng = np.random.default_rng(rng_seed)
+    N_np = rng.integers(8, 48, size=B)
+    Nu_np = rng.integers(2, 5, size=B)
+    # production capacity bucket (sim/mpc_loop.capped)
+    loop = loop.capped(*horizon_caps(loop.dims["p_max"], loop.dims["m_max"],
+                                     N_np, Nu_np))
     c = loop.arrays(jnp.float32)
     d = loop.dims
     ny, nu = d["ny"], d["nu"]
-    rng = np.random.default_rng(rng_seed)
     r_np = np.broadcast_to(problem.r[:nit], (B, nit, ny))
     r_b = jnp.asarray(r_np, jnp.float32)
     v = jnp.asarray(problem.v[:nit], jnp.float32)
-    N_b = jnp.asarray(rng.integers(8, 48, size=B))
-    Nu_b = jnp.asarray(rng.integers(2, 5, size=B))
+    N_b = jnp.asarray(N_np)
+    Nu_b = jnp.asarray(Nu_np)
     if delta_ref is None:
         delta_np = rng.uniform(0.2, 2.0, size=(B, ny))
     else:
@@ -184,13 +191,17 @@ def main():
     case7 = shell7x5.make_case()
     problem7, _ = build_problem(case7, dtype=jnp.float32,
                                 L=np.diag(ref.L), R=np.diag(ref.R))
-    # fused PDIP is NOT viable at this shape (T2T table 18 MB > VMEM,
-    # ops/qp.fused_pdip_viable) — `auto` resolves band cases here to the
-    # per-op lanes engine, so that is what the gate covers
-    out["shell7x5_fused_pdip_viable"] = False
-    out["shell7x5_auto_engine"] = "pdip_ws_lanes"
+    # round 4: the production band engine is the fused whole-PDIP with the
+    # two-stage eps-split (+split15) at the capacity-bucketed shape — the
+    # round-3 'VMEM wall' was Mosaic's default scoped limit, and the split
+    # fixed the joint engines' stall/divergence on degenerate band steps
+    # (PARITY.md round-4 notes).  The pairwise gate auto-scales with the
+    # baseline engine's own f32-vs-f64 error, which on this chaotic band
+    # workload IS large — f32 band sims are screening-grade by policy.
+    out["shell7x5_auto_engine"] = "pdip_ws_fused+split15"
     run_case(out, "shell7x5", problem7, 32, case7.nit, 60,
-             ["pdip_ws", "pdip_ws_lanes"], "pdip_ws",
+             ["pdip_ws+split15", "pdip_ws_lanes+split15",
+              "pdip_ws_fused+split15"], "pdip_ws+split15",
              rng_seed=1, delta_ref=ref.delta, lam_lo=0.02, lam_hi=2.0)
 
     out["failures"] = FAILS
