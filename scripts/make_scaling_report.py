@@ -17,9 +17,15 @@ import sys
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
-def run_phase(args, env_extra=None, timeout=3600):
+def run_phase(args, env_extra=None, timeout=3600, keep_pythonpath=False):
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(ROOT)
+    if keep_pythonpath:
+        # the TPU phase needs the axon plugin's sitecustomize, which rides
+        # the inherited PYTHONPATH — append the repo instead of replacing
+        env["PYTHONPATH"] = os.pathsep.join(
+            [p for p in [env.get("PYTHONPATH"), str(ROOT)] if p])
+    else:
+        env["PYTHONPATH"] = str(ROOT)
     if env_extra:
         env.update(env_extra)
     out = ROOT / "checkpoints" / f"_scaling_{args[0].lstrip('-')}.json"
@@ -43,7 +49,7 @@ def main():
     rows = []
     meta = {}
     if not args.skip_tpu:
-        doc = run_phase(["--tpu"])
+        doc = run_phase(["--tpu"], keep_pythonpath=True)
         rows += doc.get("rows", [doc])
         meta.update({k: v for k, v in doc.items() if k != "rows"})
     cpu_env = {"JAX_PLATFORMS": "cpu",
