@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from mpc_tuning_tpu.cases import shell7x5
 from mpc_tuning_tpu.cases.cross_eval import REF_TUNED
-from mpc_tuning_tpu.ops.native_qp import native_available, qp_solve_exact
+from mpc_tuning_tpu.ops.native_qp import qp_solve_exact
 from mpc_tuning_tpu.tuning.api import build_problem
 
 from wb_oracle import (ChannelBank, M_GAIN, band_qp_assemble,
