@@ -18,7 +18,7 @@ import dataclasses
 
 import numpy as np
 
-from mpc_tuning_tpu.sim.mpc_loop import MPCLoop
+from mpc_tuning_tpu.sim.mpc_loop import MPCLoop, parse_qp_method
 
 __all__ = ["verify_horizons", "HorizonCheck"]
 
@@ -54,6 +54,13 @@ def verify_horizons(loop: MPCLoop, L: np.ndarray, N: int, Nu: int,
     nd = loop.ctl.spec.n_md
     nit = nit or (N + 30)  # WoodBerry.m:203 / Shell7x5.m:242
 
+    # The open-loop leg must run the SAME split policy as the closed loop:
+    # "+split15" (band production spec) does not literally end with
+    # "+split", and silently dropping the split puts the open leg on the
+    # joint PDIP that stalls ~5e-2 on degenerate band steps (PARITY.md).
+    _, _, _, _split, qp_lp = parse_qp_method(qp_method)
+    qp_split = _split != 0
+
     r_unit = np.asarray(L @ np.ones(ny))
     if v_const is None:
         v = np.zeros((nit, nd))
@@ -75,8 +82,8 @@ def verify_horizons(loop: MPCLoop, L: np.ndarray, N: int, Nu: int,
                                    qp_iters=qp_iters)
             yo, uo = loop.open_loop(r_unit * sel, v[-1], v, nit, N, Nu,
                                     delta, lam, dtype=dtype,
-                                    qp_iters=qp_iters,
-                                    qp_split=qp_method.endswith("+split"))
+                                    qp_iters=qp_iters, qp_split=qp_split,
+                                    qp_lp=qp_lp)
             y_c[i] = yc[:, i]
             y_o[i] = yo[:, i]
             j = min(i, nu - 1)
@@ -91,7 +98,7 @@ def verify_horizons(loop: MPCLoop, L: np.ndarray, N: int, Nu: int,
                                qp_method=qp_method, qp_iters=qp_iters)
         yo, uo = loop.open_loop(r[-1], v[-1], v, nit, N, Nu, delta, lam,
                                 dtype=dtype, qp_iters=qp_iters,
-                                qp_split=qp_method.endswith("+split"))
+                                qp_split=qp_split, qp_lp=qp_lp)
         y_c, y_o = yc.T, yo.T
         u_c, u_o = uc.T, uo.T
 

@@ -127,11 +127,19 @@ def run_main(argv=None):
             prob = res.problem
             Linv = np.linalg.inv(res.L)
             Numax = int(np.max(res.Nu))
+            # Band cases must run the production eps-split engine at the
+            # tuner's iteration budget: the default joint pdip@30 stalls
+            # ~5e-2 on degenerate band steps (PARITY.md) and would show
+            # solver artifacts as horizon mismatch in the verify panel.
+            band = bool(np.any(prob.band_mask))
+            qp_m = "pdip+split15" if band else "pdip"
             yc, _ = prob.loop.simulate(prob.r, prob.v, nit, res.N, Numax,
-                                       res.delta, res.lam)
+                                       res.delta, res.lam,
+                                       qp_method=qp_m, qp_iters=prob.qp_iters)
             vf = prob.v[nit - 1] if prob.v.shape[1] else np.zeros(0)
             yo, _ = prob.loop.open_loop(prob.r[nit - 1], vf, prob.v, nit,
-                                        res.N, Numax, res.delta, res.lam)
+                                        res.N, Numax, res.delta, res.lam,
+                                        qp_iters=prob.qp_iters, qp_split=band)
             t = np.arange(nit) * case.Ts
             p = generate_report(
                 args.report, args.case, t, y, u,

@@ -292,8 +292,29 @@ def assemble_candidate(c: dict, N, Nu, delta, lam, p_max: int, m_max: int,
 
     admm = admm_precompute(H, G, cmask=cmask_z)
 
+    # Stage-0 slack LP of the eps-split band solve (sim/mpc_loop
+    # parse_qp_method, '+lp' suffix): minimize eps + (sigma/2)||du||^2
+    # over the SAME constraint set.  Band cases run all OV weights at 0
+    # (GAM_fun.m:58-72 forces delta=0 there), so the true QP objective is
+    # lam^2-scale move suppression + rho_eps*eps^2 with rho_eps >= 1e4
+    # (Shell7x5.m:189) — its optimal slack equals this LP's minimum to
+    # O(lam^2/rho_eps) relative, while the LP itself has NO rho/lambda
+    # scale spread (the ~1e10 spread is what stalls every joint interior
+    # point on degenerate band steps, PARITY.md round-4 notes).
+    # sigma biases the LP's eps by ~sigma*||du||^2/2 per unit slack-cost —
+    # keep it at the precision's noise floor (measured: 1e-4 leaves a
+    # ~1.5e-5 du bias vs the GI-certified optimum; 1e-6 clears the 1e-6
+    # oracle gate at f64)
+    sigma_lp = jnp.asarray(1e-6 if dtype == jnp.float64 else 1e-4, dtype)
+    lp_diag = jnp.concatenate([
+        2.0 * (sigma_lp * cmask_flat + (1.0 - cmask_flat)),
+        2.0 * sigma_lp[None],
+    ])
+    H_lp = jnp.diag(lp_diag)
+    f_lp = jnp.zeros(n, dtype).at[-1].set(1.0)
+
     return {
-        "admm": admm,
+        "admm": admm, "H_lp": H_lp, "f_lp": f_lp,
         "H": H, "G": G, "Theta": Theta, "QTheta": QTheta,
         "row_mask": row_mask, "col_mask": col_mask,
         "cmask_flat": cmask_flat, "rmask": rmask, "cmask_z": cmask_z,

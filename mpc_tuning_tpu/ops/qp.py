@@ -310,6 +310,52 @@ def solve_qp_masked(H, f, G0, T2, rmask, cmask_z, h, iters: int = 30,
     return z, lam, s
 
 
+def _factor_lanes_unrolled(Mt):
+    """Lane-major Cholesky, explicitly unrolled over the (static, small)
+    matrix dimension: Mt (n, n, B) -> lower L (n, n, B).  Every operation
+    is elementwise over the B lanes — the same algorithm as the Pallas
+    spd_factor kernel, expressed in jnp for dtypes/backends the kernels
+    don't cover (notably emulated f64 on TPU)."""
+    n = Mt.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = Mt[j, j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(d)
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, n):
+            v = Mt[i, j]
+            for k in range(j):
+                v = v - L[i][k] * L[j][k]
+            L[i][j] = v * inv
+    zero = jnp.zeros_like(Mt[0, 0])
+    rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(n)])
+            for i in range(n)]
+    return jnp.stack(rows)
+
+
+def _solve_lanes_unrolled(Lt, rhs):
+    """Lane-major SPD solve from the unrolled factor: Lt (n, n, B) lower,
+    rhs (n, B) -> x (n, B) with L L^T x = rhs (forward + back
+    substitution unrolled over the static n)."""
+    n = Lt.shape[0]
+    y = [None] * n
+    for i in range(n):
+        v = rhs[i]
+        for k in range(i):
+            v = v - Lt[i, k] * y[k]
+        y[i] = v / Lt[i, i]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        v = y[i]
+        for k in range(i + 1, n):
+            v = v - Lt[k, i] * x[k]
+        x[i] = v / Lt[i, i]
+    return jnp.stack(x)
+
+
 def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
                           iters: int, init_b, use_pallas: bool = True):
     """Explicitly-batched LANE-MAJOR masked PDIP — the TPU speed path.
@@ -392,7 +438,17 @@ def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
 
     if use_pallas:
         from mpc_tuning_tpu.ops.pallas_kernels import factor_lanes, solve_lanes
-    else:  # CPU/debug: jnp path in the same layout
+    elif jax.default_backend() != "cpu":
+        # TPU non-Pallas path (the decision-grade f64 band engine): XLA
+        # lowers batched jnp.linalg cholesky/triangular_solve to a near-
+        # scalar loop on TPU (the round-2 "46 sims/s" finding — and at
+        # f64 it is ~40x off); the explicit unrolled elimination below is
+        # pure (B,)-lane elementwise work that XLA vectorizes fine in
+        # both f32 and emulated f64.
+        factor_lanes = _factor_lanes_unrolled
+        solve_lanes = _solve_lanes_unrolled
+    else:  # CPU/debug: LAPACK path in the same layout (keeps the f64
+        # parity/cross-eval trajectories bit-stable round over round)
         def factor_lanes(Mt):
             return jnp.linalg.cholesky(Mt.transpose(2, 0, 1)).transpose(1, 2, 0)
 

@@ -44,6 +44,9 @@ def _auto_pallas(use_pallas):
     return bool(use_pallas)
 
 
+_SHARD_MAPPED_CACHE: dict = {}
+
+
 def _shard_mapped(batch_fn, mesh, statics, batched_dims, out_dims):
     """Wrap a jitted candidate-batched evaluator in shard_map over ``mesh``.
 
@@ -52,7 +55,17 @@ def _shard_mapped(batch_fn, mesh, statics, batched_dims, out_dims):
     The candidate axis is split over ALL mesh axes flattened, so the same
     wrapper serves a 1-D device mesh and the multihost (host, ici) grid.
     Inside the shard body every device sees only its local candidate shard,
-    which is exactly what the Pallas lane-major engines expect."""
+    which is exactly what the Pallas lane-major engines expect.
+
+    Memoized on the full wrapper identity: jax.jit's executable cache is
+    keyed on function identity, so building a fresh closure per call would
+    retrace + recompile every candidate-batch evaluation (GAM/VNS make
+    hundreds per run; TPU compiles through the tunnel cost minutes)."""
+    key = (batch_fn, mesh, statics, batched_dims, out_dims)
+    cached = _SHARD_MAPPED_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     from jax.sharding import PartitionSpec as P
 
     from mpc_tuning_tpu.parallel.sweep import _cand_spec
@@ -63,8 +76,10 @@ def _shard_mapped(batch_fn, mesh, statics, batched_dims, out_dims):
     in_specs = (P(),) + tuple(
         P() if nd is None else _cand_spec(mesh, nd) for nd in batched_dims)
     out_specs = tuple(_cand_spec(mesh, nd) for nd in out_dims)
-    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs, check_vma=False))
+    wrapped = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                    out_specs=out_specs, check_vma=False))
+    _SHARD_MAPPED_CACHE[key] = wrapped
+    return wrapped
 
 
 # Capacity buckets: a candidate batch whose horizons all fit (p_cap, m_cap)
@@ -185,7 +200,7 @@ class MPCLoop:
 
     def open_batch(self, rfin_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
                    qp_iters, use_pallas=None, mesh=None, caps=None,
-                   qp_split=False):
+                   qp_split=False, qp_lp=0):
         s = self.ctl.spec
         if caps is None:
             caps = horizon_caps(s.p_max, s.m_max, N_b, Nu_b)
@@ -194,7 +209,7 @@ class MPCLoop:
         d = loop.dims
         statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
                    d["rho"], qp_iters, _auto_pallas(use_pallas),
-                   bool(qp_split))
+                   bool(qp_split), int(qp_lp))
         args = (jnp.asarray(rfin_b, dtype), jnp.asarray(v[nit - 1], dtype),
                 jnp.asarray(v[:nit], dtype),
                 jnp.asarray(N_b), jnp.asarray(Nu_b),
@@ -227,7 +242,7 @@ class MPCLoop:
 
     def open_loop(self, r_final, v_final, v_traj, nit, N, Nu, delta, lam,
                   dtype=jnp.float64, qp_iters: int = 30,
-                  qp_split: bool = False):
+                  qp_split: bool = False, qp_lp: int = 0):
         """Single-shot optimal sequence from rest played through the model.
         Returns (ys, uopt) conditioned, shapes (nit, ny), (nit, nu)."""
         c = self.arrays(dtype)
@@ -239,7 +254,7 @@ class MPCLoop:
             jnp.asarray(N), jnp.asarray(Nu),
             jnp.asarray(delta, dtype), jnp.asarray(lam, dtype),
             d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"], d["rho"],
-            qp_iters, False, bool(qp_split),
+            qp_iters, False, bool(qp_split), int(qp_lp),
         )
         return np.asarray(ys), np.asarray(uopt)
 
@@ -248,7 +263,8 @@ class MPCLoop:
 
 
 def parse_qp_method(qp_method: str):
-    """Split a qp_method spec into (base, fused_lanes, fused_solve, split).
+    """Split a qp_method spec into (base, fused_lanes, fused_solve, split,
+    lp).
 
     The fused engine's compile-time knobs are threaded EXPLICITLY through
     the method string (no environment reads on the solver path):
@@ -267,21 +283,40 @@ def parse_qp_method(qp_method: str):
           each scale in its own subproblem (measured 2e-8 vs the
           KKT-certified exact solution on the stall instance).
     """
+    import re
+
     base = qp_method
     split = 0
-    if "+split" in base:
-        base, tail = base.split("+split", 1)
-        split = int(tail) if tail else -1  # -1: stage 2 reuses qp_iters
+    lp = 0
+    m = re.search(r"\+lp(\d*)", base)
+    if m:
+        # '+lp[N]' replaces the joint stage 1 by the stage-0 SLACK LP
+        # (minimize eps over the same constraint set, N PDIP iterations,
+        # default 12; ops/mpc_qp assemble_candidate H_lp/f_lp docstring) —
+        # the LP has no rho_eps/lambda^2 scale spread, so it pins the ECR
+        # slack in far fewer iterations than the stalling joint solve
+        # needs, and scipy's exact LP certifies it independently
+        # (tests/test_band_oracle.py).  Implies the split; stage-2 count
+        # comes from '+split<N>' (default qp_iters).
+        lp = int(m.group(1)) if m.group(1) else 12
+        base = base[:m.start()] + base[m.end():]
+    m = re.search(r"\+split(\d*)", base)
+    if m:
+        split = int(m.group(1)) if m.group(1) else -1  # -1: reuse qp_iters
+        base = base[:m.start()] + base[m.end():]
+    if lp and split == 0:
+        split = -1
     lanes, solve = 128, "trinv"
     if "/" in base:
         base, solve = base.split("/", 1)
     if "@" in base:
         base, lanes_s = base.split("@", 1)
         lanes = int(lanes_s)
-    return base, lanes, solve, split
+    return base, lanes, solve, split, lp
 
 
-def _eps_split_stage2(solve_fn, z1, lam1, s1, c, cand, h, stage2_iters):
+def _eps_split_stage2(solve_fn, z1, lam1, s1, c, cand, h, stage2_iters,
+                      init2=None, full_state=False):
     """Stage 2 of the eps-split band solve (see parse_qp_method): freeze
     the ECR slack, fold it into the constraint rhs via the shared G0
     slack column, mask the slack variable, and re-solve warm-started.
@@ -308,8 +343,12 @@ def _eps_split_stage2(solve_fn, z1, lam1, s1, c, cand, h, stage2_iters):
     # rows; their h shift is harmless and keeps s = h2 > 0)
     h2 = h - slack_col * cand["rmask"] * ehat[..., None]
     cmask2 = cand["cmask_z"].at[-1].set(0.0)
-    z0 = z1.at[..., -1].set(0.0)
-    z2, _, _ = solve_fn(h2, cmask2, (z0, lam1, s1), stage2_iters)
+    if init2 is None:
+        # default: warm-start from stage 1's own iterate (slack zeroed)
+        init2 = (z1.at[..., -1].set(0.0), lam1, s1)
+    z2, lam2, s2 = solve_fn(h2, cmask2, init2, stage2_iters)
+    if full_state:
+        return z2, lam2, s2
     return z2
 
 
@@ -327,7 +366,11 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                iterations, the TPU-fast path (qp_iters = ADMM iterations).
     """
     dtype = r.dtype
-    qp_method, fused_lanes, fused_solve, qp_split = parse_qp_method(qp_method)
+    (qp_method, fused_lanes, fused_solve, qp_split,
+     qp_lp) = parse_qp_method(qp_method)
+    if qp_lp and qp_method not in ("pdip", "pdip_ws", "pdip_ws_lanes",
+                                   "pdip_ws_fused"):
+        raise ValueError(f"'+lp' requires a pdip engine, got {qp_method!r}")
     cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
                               rho, with_y)
     nxa = c["A"].shape[0]
@@ -365,19 +408,40 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
             # zero transposes per iteration (ops/qp.solve_qp_masked_lanes);
             # 'pdip_ws_fused' runs ALL iterations inside ONE Pallas kernel
             # call per step (ops/pallas_kernels.pdip_fused_lanes)
+            eng = "fused" if qp_method == "pdip_ws_fused" else "lanes"
+
             def _solve(h_, cmask_, init_, iters_=qp_iters):
                 return solve_qp_masked_fast(
                     cand["H"], f, c["G0"], c["T2"], cand["rmask"],
                     cmask_, h_, iters_, use_pallas, init_,
-                    engine="fused" if qp_method == "pdip_ws_fused"
-                    else "lanes",
-                    block_lanes=fused_lanes, solve_mode=fused_solve)
+                    engine=eng, block_lanes=fused_lanes,
+                    solve_mode=fused_solve)
 
-            z, lam_w, s_w = _solve(h, cand["cmask_z"], ws)
-            ws = (z, lam_w, s_w)
-            if qp_split:
-                z = _eps_split_stage2(_solve, z, lam_w, s_w, c, cand, h,
-                                      qp_split if qp_split > 0 else qp_iters)
+            if qp_lp:
+                # stage 0 slack LP replaces the joint stage 1 (band
+                # engine, '+lp' in parse_qp_method); BOTH stages carry
+                # their own warm-start state across timesteps
+                def _solve_lp(h_, cmask_, init_, iters_):
+                    return solve_qp_masked_fast(
+                        cand["H_lp"], cand["f_lp"], c["G0"], c["T2"],
+                        cand["rmask"], cmask_, h_, iters_, use_pallas,
+                        init_, engine=eng, block_lanes=fused_lanes,
+                        solve_mode=fused_solve)
+
+                ws_lp, ws2 = ws
+                z1, lam1, s1 = _solve_lp(h, cand["cmask_z"], ws_lp, qp_lp)
+                z, lam2, s2 = _eps_split_stage2(
+                    _solve, z1, lam1, s1, c, cand, h,
+                    qp_split if qp_split > 0 else qp_iters,
+                    init2=ws2, full_state=True)
+                ws = ((z1, lam1, s1), (z, lam2, s2))
+            else:
+                z, lam_w, s_w = _solve(h, cand["cmask_z"], ws)
+                ws = (z, lam_w, s_w)
+                if qp_split:
+                    z = _eps_split_stage2(
+                        _solve, z, lam_w, s_w, c, cand, h,
+                        qp_split if qp_split > 0 else qp_iters)
         elif qp_method == "pdip_ws":
             def _solve(h_, cmask_, init_, iters_=qp_iters):
                 return solve_qp_masked(
@@ -385,11 +449,27 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                     cmask_, h_, iters=iters_, use_pallas=use_pallas,
                     init=init_)
 
-            z, lam_w, s_w = _solve(h, cand["cmask_z"], ws)
-            ws = (z, lam_w, s_w)
-            if qp_split:
-                z = _eps_split_stage2(_solve, z, lam_w, s_w, c, cand, h,
-                                      qp_split if qp_split > 0 else qp_iters)
+            if qp_lp:
+                def _solve_lp(h_, cmask_, init_, iters_):
+                    return solve_qp_masked(
+                        cand["H_lp"], cand["f_lp"], c["G0"], c["T2"],
+                        cand["rmask"], cmask_, h_, iters=iters_,
+                        use_pallas=use_pallas, init=init_)
+
+                ws_lp, ws2 = ws
+                z1, lam1, s1 = _solve_lp(h, cand["cmask_z"], ws_lp, qp_lp)
+                z, lam2, s2 = _eps_split_stage2(
+                    _solve, z1, lam1, s1, c, cand, h,
+                    qp_split if qp_split > 0 else qp_iters,
+                    init2=ws2, full_state=True)
+                ws = ((z1, lam1, s1), (z, lam2, s2))
+            else:
+                z, lam_w, s_w = _solve(h, cand["cmask_z"], ws)
+                ws = (z, lam_w, s_w)
+                if qp_split:
+                    z = _eps_split_stage2(
+                        _solve, z, lam_w, s_w, c, cand, h,
+                        qp_split if qp_split > 0 else qp_iters)
         elif qp_method == "pdip_dense":
             z, _, _ = solve_qp(cand["H"], f, cand["G"], h, iters=qp_iters,
                                use_pallas=use_pallas)
@@ -400,10 +480,19 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                     cmask_, h_, iters=iters_, use_pallas=use_pallas,
                     init=init_)
 
-            z, lam1, s1 = _solve(h, cand["cmask_z"], None)
-            if qp_split:
-                z = _eps_split_stage2(_solve, z, lam1, s1, c, cand, h,
+            if qp_lp:
+                z1, lam1, s1 = solve_qp_masked(
+                    cand["H_lp"], cand["f_lp"], c["G0"], c["T2"],
+                    cand["rmask"], cand["cmask_z"], h, iters=qp_lp,
+                    use_pallas=use_pallas, init=None)
+                z = _eps_split_stage2(_solve, z1, lam1, s1, c, cand, h,
                                       qp_split if qp_split > 0 else qp_iters)
+            else:
+                z, lam1, s1 = _solve(h, cand["cmask_z"], None)
+                if qp_split:
+                    z = _eps_split_stage2(
+                        _solve, z, lam1, s1, c, cand, h,
+                        qp_split if qp_split > 0 else qp_iters)
         else:  # trace-time guard: a typo'd engine must not silently run pdip
             raise ValueError(
                 f"unknown qp_method {qp_method!r}; use 'auto' via "
@@ -422,6 +511,8 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
 
     if qp_method in ("pdip_ws", "pdip_ws_lanes", "pdip_ws_fused"):
         ws0 = (jnp.zeros(nz, dtype), jnp.ones(mc, dtype), jnp.ones(mc, dtype))
+        if qp_lp:  # (stage-0 LP state, stage-2 state) carried separately
+            ws0 = (ws0, ws0)
     else:
         ws0 = (jnp.zeros(nz, dtype), jnp.zeros(mc, dtype), jnp.zeros(mc, dtype))
     init = (jnp.zeros(nxp, dtype), jnp.zeros(nxa, dtype), jnp.zeros(nu, dtype), ws0)
@@ -441,7 +532,7 @@ closed_loop_batch = partial(jax.jit, static_argnums=tuple(range(7, 16)))(
 
 def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
                    p_max, m_max, ny, nu, with_y, rho, qp_iters,
-                   use_pallas=False, qp_split=False):
+                   use_pallas=False, qp_split=False, qp_lp=0):
     dtype = r_final.dtype
     cand = assemble_candidate(c, N, Nu, delta, lam, p_max, m_max, ny, nu,
                               rho, with_y)
@@ -463,9 +554,16 @@ def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
                                cand["rmask"], cmask_, h_, iters=iters_,
                                use_pallas=use_pallas, init=init_)
 
-    z, lam1, s1 = _solve(h, cand["cmask_z"], None)
-    if qp_split:  # band cases: two-stage eps-split (see parse_qp_method)
+    if qp_lp:  # stage-0 slack LP variant of the split (parse_qp_method)
+        z, lam1, s1 = solve_qp_masked(
+            cand["H_lp"], cand["f_lp"], c["G0"], c["T2"], cand["rmask"],
+            cand["cmask_z"], h, iters=int(qp_lp), use_pallas=use_pallas,
+            init=None)
         z = _eps_split_stage2(_solve, z, lam1, s1, c, cand, h, qp_iters)
+    else:
+        z, lam1, s1 = _solve(h, cand["cmask_z"], None)
+        if qp_split:  # band cases: two-stage eps-split (parse_qp_method)
+            z = _eps_split_stage2(_solve, z, lam1, s1, c, cand, h, qp_iters)
     du_seq = (z[:-1] * cand["cmask_flat"]).reshape(m_max, nu)
     u_seq = jnp.cumsum(du_seq, axis=0) * c["sf_u"][None, :]  # (m_max, nu)
 
@@ -486,9 +584,9 @@ def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
     return ys, uopt
 
 
-_open_loop = partial(jax.jit, static_argnums=tuple(range(8, 17)))(open_loop_core)
+_open_loop = partial(jax.jit, static_argnums=tuple(range(8, 18)))(open_loop_core)
 
-open_loop_batch = partial(jax.jit, static_argnums=tuple(range(8, 17)))(
+open_loop_batch = partial(jax.jit, static_argnums=tuple(range(8, 18)))(
     jax.vmap(open_loop_core,
-             in_axes=(None, 0, None, None, 0, 0, 0, 0) + (None,) * 9)
+             in_axes=(None, 0, None, None, 0, 0, 0, 0) + (None,) * 10)
 )

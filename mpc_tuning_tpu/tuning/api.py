@@ -427,16 +427,18 @@ def hybrid_tune(
         lam = np.abs(x_j[my:])
         best["delta"] = delta.copy()
         best["lam"] = lam.copy()
-        # Fva stays the monotone VNS-objective incumbent: the Chebyshev knee
-        # can deliberately trade F for gamma, so the shipped pair's own F is
-        # recorded in the history "joint" entry (Fvns=F_j, gamma=g_j), not
-        # written over the incumbent the rest of hybrid_tune/save_tuning
-        # treats as monotone.
-        Fva = min(Fva, F_j)
+        # The returned/checkpointed Fvns must be the SHIPPED pair's own
+        # objective (the Chebyshev knee can deliberately trade F for gamma;
+        # reporting the pre-polish incumbent next to knee weights would
+        # claim a value the shipped parameters cannot achieve).  The
+        # monotone pre-polish incumbent stays available in the history
+        # "joint" entry as Fvns_incumbent.
         history.append(dict(it="joint", Fvns=F_j, gamma=g_j,
+                            Fvns_incumbent=Fva,
                             N=int(best["N"]),
                             Nu=np.asarray(best["Nu"]).tolist(),
                             delta=delta.tolist(), lam=lam.tolist()))
+        Fva = F_j
     return best, delta, lam, Fva, Fvf, history
 
 

@@ -214,7 +214,17 @@ class TuningProblem:
         )
         kw = {}
         if hasattr(self.loop, "ctl"):
-            kw["qp_split"] = bool(np.any(self.band_mask))
+            # mirror the closed-loop engine's band policy (split / slack-LP
+            # stage) so the open leg of j21 never runs the stalling joint
+            # solve on band cases (sim/mpc_loop.parse_qp_method)
+            from mpc_tuning_tpu.sim.mpc_loop import parse_qp_method
+
+            band = bool(np.any(self.band_mask))
+            m = resolve_qp_method(self.qp_method, band=band, stage="gam",
+                                  dims=self.loop.capped(*caps).dims)
+            _, _, _, split, lp = parse_qp_method(m)
+            kw["qp_split"] = band and split != 0
+            kw["qp_lp"] = lp if band else 0
         Y, U = self.loop.open_batch(
             jnp.asarray(rfin_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
             self.nit, self.dtype, self.qp_iters, mesh=self.mesh, caps=caps,

@@ -96,7 +96,7 @@ def worker(name: str):
     if "fused" in cfg["method"]:
         from mpc_tuning_tpu.sim.mpc_loop import parse_qp_method
 
-        _, rec["fused_lanes"], rec["fused_solve"] = parse_qp_method(
+        _, rec["fused_lanes"], rec["fused_solve"], _, _ = parse_qp_method(
             cfg["method"])
     print(json.dumps(rec))
 

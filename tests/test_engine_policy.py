@@ -11,17 +11,23 @@ S7 = dict(p_max=127, m_max=15, ny=7, nu=3, with_y=True, rho=1e5)
 
 
 def test_parse_qp_method_specs():
-    assert parse_qp_method("pdip_ws_fused") == ("pdip_ws_fused", 128, "trinv", 0)
-    assert parse_qp_method("pdip_ws_fused@256") == ("pdip_ws_fused", 256, "trinv", 0)
-    assert parse_qp_method("pdip_ws_fused/subst") == ("pdip_ws_fused", 128, "subst", 0)
-    assert parse_qp_method("pdip_ws_fused@256/subst") == ("pdip_ws_fused", 256, "subst", 0)
-    assert parse_qp_method("admm_fused@512") == ("admm_fused", 512, "trinv", 0)
-    assert parse_qp_method("admm") == ("admm", 128, "trinv", 0)
+    assert parse_qp_method("pdip_ws_fused") == ("pdip_ws_fused", 128, "trinv", 0, 0)
+    assert parse_qp_method("pdip_ws_fused@256") == ("pdip_ws_fused", 256, "trinv", 0, 0)
+    assert parse_qp_method("pdip_ws_fused/subst") == ("pdip_ws_fused", 128, "subst", 0, 0)
+    assert parse_qp_method("pdip_ws_fused@256/subst") == ("pdip_ws_fused", 256, "subst", 0, 0)
+    assert parse_qp_method("admm_fused@512") == ("admm_fused", 512, "trinv", 0, 0)
+    assert parse_qp_method("admm") == ("admm", 128, "trinv", 0, 0)
     # +split = two-stage eps-split: -1 reuses qp_iters for stage 2,
     # +splitN runs N stage-2 iterations
-    assert parse_qp_method("pdip_ws_fused+split") == ("pdip_ws_fused", 128, "trinv", -1)
-    assert parse_qp_method("pdip_ws_lanes+split15") == ("pdip_ws_lanes", 128, "trinv", 15)
-    assert parse_qp_method("pdip_ws_fused@256/subst+split") == ("pdip_ws_fused", 256, "subst", -1)
+    assert parse_qp_method("pdip_ws_fused+split") == ("pdip_ws_fused", 128, "trinv", -1, 0)
+    assert parse_qp_method("pdip_ws_lanes+split15") == ("pdip_ws_lanes", 128, "trinv", 15, 0)
+    assert parse_qp_method("pdip_ws_fused@256/subst+split") == ("pdip_ws_fused", 256, "subst", -1, 0)
+    # +lp[N] = stage-0 slack LP replaces the joint stage 1 (implies the
+    # split; default 12 LP iterations); order-independent with +split
+    assert parse_qp_method("pdip_ws_fused+lp") == ("pdip_ws_fused", 128, "trinv", -1, 12)
+    assert parse_qp_method("pdip_ws_fused+lp20+split15") == ("pdip_ws_fused", 128, "trinv", 15, 20)
+    assert parse_qp_method("pdip_ws_lanes+split15+lp20") == ("pdip_ws_lanes", 128, "trinv", 15, 20)
+    assert parse_qp_method("pdip_ws_fused@256+lp8+split10") == ("pdip_ws_fused", 256, "trinv", 10, 8)
 
 
 def test_fused_pdip_vmem_viability():
