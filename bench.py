@@ -76,12 +76,20 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def _time_reps(fn, reps=3):
+def _time_reps(fn, reps=5):
+    """Run fn reps times after warmup; returns (median, best, times).
+
+    Repeat-and-report: host/tunnel noise on the axon backend can move a
+    single timing by tens of percent (the round-4 DTC-GPC row read 36%
+    below round 3 on one sample) — the MEDIAN is the reported value and
+    BEST bounds the machine's capability; all samples are recorded."""
     fn()  # compile + warmup
-    t0 = time.perf_counter()
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         fn()
-    return (time.perf_counter() - t0) / reps
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), float(np.min(times)), times
 
 
 def bench_wb(problem, B, method, iters, dtype, N_fix=None, Nu_fix=None):
@@ -119,8 +127,10 @@ def bench_wb(problem, B, method, iters, dtype, N_fix=None, Nu_fix=None):
                                      *statics, method, on_tpu)
         return _sync(Y)
 
-    dt = _time_reps(run)
-    return B / dt, dt, d
+    dt, dt_best, dts = _time_reps(run)
+    stats = {"best_sims_per_s": round(B / dt_best, 2),
+             "rep_seconds": [round(t, 4) for t in dts]}
+    return B / dt, dt, d, stats
 
 
 def bench_shell7x5(B, iters, dtype):
@@ -176,8 +186,10 @@ def bench_shell7x5(B, iters, dtype):
                                      *statics, band_method, on_tpu)
         return _sync(Y)
 
-    dt = _time_reps(run)
-    return B / dt, nit, band_method
+    dt, dt_best, dts = _time_reps(run)
+    stats = {"best_sims_per_s": round(B / dt_best, 2),
+             "rep_seconds": [round(t, 4) for t in dts]}
+    return B / dt, nit, band_method, stats
 
 
 def bench_vdv(B, dtype):
@@ -203,8 +215,10 @@ def bench_vdv(B, dtype):
             jnp.asarray(l_b, dtype), nit, dtype, case.spec.qp_iters)
         return _sync(Y)
 
-    dt = _time_reps(run)
-    return B / dt, nit
+    dt, dt_best, dts = _time_reps(run)
+    stats = {"best_sims_per_s": round(B / dt_best, 2),
+             "rep_seconds": [round(t, 4) for t in dts]}
+    return B / dt, nit, stats
 
 
 def bench_dtc_gpc(B, dtype):
@@ -232,8 +246,10 @@ def bench_dtc_gpc(B, dtype):
         Y, _ = ctl.simulate_scan_batch(r_b, q_b, nit, dtype=dtype)
         return _sync(Y)
 
-    dt = _time_reps(run)
-    return B / dt, nit
+    dt, dt_best, dts = _time_reps(run)
+    stats = {"best_sims_per_s": round(B / dt_best, 2),
+             "rep_seconds": [round(t, 4) for t in dts]}
+    return B / dt, nit, stats
 
 
 def main():
@@ -264,7 +280,7 @@ def main():
     case = woodberry.make_case(nit=NIT)  # nbp=7, nbc=4 -> p_max=127
     problem, _ = build_problem(case, dtype=dtype, qp_iters=iters)
 
-    sims_per_s, dt, d = bench_wb(problem, B, method, iters, dtype)
+    sims_per_s, dt, d, wb_stats = bench_wb(problem, B, method, iters, dtype)
 
     # ---- GAM-stage engine row (fused whole-PDIP, 15 warm iters) at the
     # REAL GAM population shape: the whole CMA population shares the
@@ -275,13 +291,15 @@ def main():
         gam_iters = 15
         gB = min(B, 2048) if on_tpu else 8
         gam_method = "pdip_ws_fused" if on_tpu else "pdip_ws"
-        g_sims, _, gd = bench_wb(problem, gB, gam_method,
-                                 gam_iters, dtype, N_fix=20, Nu_fix=4)
+        g_sims, _, gd, g_stats = bench_wb(problem, gB, gam_method,
+                                          gam_iters, dtype, N_fix=20,
+                                          Nu_fix=4)
         extra.append({"metric": "wb_gam_pdip_fused_sims_per_s",
                       "value": round(g_sims, 2), "unit": "sims/s",
                       "qp_iters": gam_iters, "batch": gB,
                       "caps": [gd["p_max"], gd["m_max"]],
-                      "population": "fixed (N,Nu)=(20,4), varying weights"})
+                      "population": "fixed (N,Nu)=(20,4), varying weights",
+                      **g_stats})
     except Exception as exc:  # pragma: no cover - bench resilience
         extra.append({"metric": "wb_gam_pdip_fused_sims_per_s",
                       "error": repr(exc)[:200]})
@@ -289,12 +307,13 @@ def main():
     # ---- band-control row (Shell7x5: mc=601 rows incl. soft bands + ECR)
     try:
         sB = 256 if on_tpu else 2
-        s_sims, s_nit, s_meth = bench_shell7x5(sB, 60, dtype)
+        s_sims, s_nit, s_meth, s_stats = bench_shell7x5(sB, 60, dtype)
         extra.append({"metric": "shell7x5_band_closedloop_sims_per_s",
                       "value": round(s_sims, 2), "unit": "sims/s",
                       "qp_method": s_meth, "qp_iters": 60,
                       "nit": s_nit, "batch": sB,
-                      "qp_solves_per_s_chip": round(s_sims * s_nit)})
+                      "qp_solves_per_s_chip": round(s_sims * s_nit),
+                      **s_stats})
     except Exception as exc:
         extra.append({"metric": "shell7x5_band_closedloop_sims_per_s",
                       "error": repr(exc)[:200]})
@@ -302,11 +321,12 @@ def main():
     # ---- nonlinear engine row (Van de Vusse SQP NMPC)
     try:
         vB = 256 if on_tpu else 2
-        v_sims, v_nit = bench_vdv(vB, dtype)
+        v_sims, v_nit, v_stats = bench_vdv(vB, dtype)
         extra.append({"metric": "vdv_nmpc_sims_per_s",
                       "value": round(v_sims, 2), "unit": "sims/s",
                       "nit": v_nit, "batch": vB,
-                      "nlp_solves_per_s_chip": round(v_sims * v_nit)})
+                      "nlp_solves_per_s_chip": round(v_sims * v_nit),
+                      **v_stats})
     except Exception as exc:
         extra.append({"metric": "vdv_nmpc_sims_per_s",
                       "error": repr(exc)[:200]})
@@ -314,13 +334,39 @@ def main():
     # ---- DTC-GPC scan row (the literal closed-loop GPC engine)
     try:
         gpcB = 1024 if on_tpu else 8
-        gpc_sims, gpc_nit = bench_dtc_gpc(gpcB, dtype)
+        gpc_sims, gpc_nit, gpc_stats = bench_dtc_gpc(gpcB, dtype)
         extra.append({"metric": "dtc_gpc_closedloop_sims_per_s",
                       "value": round(gpc_sims, 2), "unit": "sims/s",
                       "nit": gpc_nit, "batch": gpcB,
-                      "gpc_solves_per_s_chip": round(gpc_sims * gpc_nit)})
+                      "gpc_solves_per_s_chip": round(gpc_sims * gpc_nit),
+                      **gpc_stats})
     except Exception as exc:
         extra.append({"metric": "dtc_gpc_closedloop_sims_per_s",
+                      "error": repr(exc)[:200]})
+
+    # ---- end-to-end hybrid-tuner wall clock (complete small-budget
+    # Wood-Berry mpc_tuning on the production policy, BOTH stages +
+    # polish): guards the stage-rate rows from masking an end-to-end
+    # regression (reference analogue: the tic/toc around MPCTuning at
+    # WoodBerry.m:155-157).  Includes this process's compiles for any
+    # bucket the tuner visits that the rows above did not.
+    try:
+        from mpc_tuning_tpu.tuning.api import mpc_tuning
+
+        t0 = time.perf_counter()
+        res = mpc_tuning(case, dtype=dtype, qp_iters=15, gam_popsize=8,
+                         gam_generations=4, max_alternations=2, seed=0,
+                         checkpoint_dir=None, verbose=False)
+        tune_wall = time.perf_counter() - t0
+        extra.append({"metric": "wb_hybrid_tune_wall_s",
+                      "value": round(tune_wall, 2), "unit": "s",
+                      "budget": "popsize 8 x 4 gens x <=2 alternations, "
+                                "qp_iters 15, nit 400, nbp 7/nbc 4",
+                      "includes_compiles": True,
+                      "N": int(res.N), "Nu": res.Nu.tolist(),
+                      "Fvns": round(float(res.Fvns), 4)})
+    except Exception as exc:
+        extra.append({"metric": "wb_hybrid_tune_wall_s",
                       "error": repr(exc)[:200]})
 
     # ---- single-QP p50 latency (warm-started masked PDIP solve, B=1) at
@@ -375,10 +421,11 @@ def main():
             "engine_policy": "production auto: VNS tracking = fused "
                              "whole-ADMM (qualification: checkpoints/"
                              "qp_engine_qualification.json); GAM = fused "
-                             "whole-PDIP; band = fused PDIP +split15 "
+                             "whole-PDIP; band = fused PDIP +lp20+split12 "
                              "(f32 band rows are engine-throughput only; "
                              "band decisions finalize at f64, PARITY.md)",
             "seconds_per_batch": round(dt, 4),
+            **wb_stats,
             "qp_solves_per_s_chip": round(qp_solves_per_s, 0),
             "qp_p50_latency_us": round(qp_p50_us, 1),
             # single-QP p50 is host-observed: on the axon backend each call

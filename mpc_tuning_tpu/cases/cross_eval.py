@@ -225,7 +225,7 @@ def cross_eval_case(name: str, qp_iters: int | None = None) -> dict:
             v_const = problem.v[-1] if problem.v.shape[1] else None
             band = bool(np.any(problem.band_mask))
             vkw = dict(v_const=v_const,
-                       qp_method="pdip+split15" if band else "pdip",
+                       qp_method="pdip_ws_lanes+lp20+split12" if band else "pdip",
                        qp_iters=problem.qp_iters)
             chk = verify_horizons(problem.loop, np.diag(ref.L), int(repo.N),
                                   int(repo.Nu.max()), d, l, **vkw)

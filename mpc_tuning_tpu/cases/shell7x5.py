@@ -83,7 +83,7 @@ def final_simulation(case: LinearCase, res: TuningResult, nominal: bool = True,
     # MV bounds)
     y_c, u_c = loop.simulate(prob.r, prob.v, nit, res.N, int(np.max(res.Nu)),
                              res.delta, res.lam, qp_iters=prob.qp_iters,
-                             qp_method="pdip+split15")
+                             qp_method="pdip_ws_lanes+lp20+split12")
     y = (np.linalg.inv(res.L) @ y_c.T).T
     u = u_c * res.Ru[None, :]
     return y, u

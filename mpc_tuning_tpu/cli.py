@@ -132,14 +132,15 @@ def run_main(argv=None):
             # ~5e-2 on degenerate band steps (PARITY.md) and would show
             # solver artifacts as horizon mismatch in the verify panel.
             band = bool(np.any(prob.band_mask))
-            qp_m = "pdip+split15" if band else "pdip"
+            qp_m = "pdip_ws_lanes+lp20+split12" if band else "pdip"
             yc, _ = prob.loop.simulate(prob.r, prob.v, nit, res.N, Numax,
                                        res.delta, res.lam,
                                        qp_method=qp_m, qp_iters=prob.qp_iters)
             vf = prob.v[nit - 1] if prob.v.shape[1] else np.zeros(0)
             yo, _ = prob.loop.open_loop(prob.r[nit - 1], vf, prob.v, nit,
                                         res.N, Numax, res.delta, res.lam,
-                                        qp_iters=prob.qp_iters, qp_split=band)
+                                        qp_iters=prob.qp_iters, qp_split=band,
+                                        qp_lp=20 if band else 0)
             t = np.arange(nit) * case.Ts
             p = generate_report(
                 args.report, args.case, t, y, u,

@@ -315,8 +315,42 @@ def parse_qp_method(qp_method: str):
     return base, lanes, solve, split, lp
 
 
+# Dual-based slack-refinement pass for the '+lp' stage-2 — MEASURED
+# DEAD-END, kept at 0: eps* = g/(2 rho) with g = sum lam_i|slack_col_i|
+# (envelope theorem) would close the crossover regime's ~1e-5 du bias
+# (eps* slightly positive while the LP minimum is 0), but on
+# dual-degenerate steps the dual set is non-unique (near-parallel band
+# rows break LICQ), g is dual-choice-dependent, and the pass introduced
+# a 6.7e-5 du error on a GI-certified eps=0 step while fixing a 6.5e-5
+# one elsewhere.  The crossover bias is bounded by g/(2 rho) ~ 1e-5 —
+# far below the f32 noise floor and the old split15 chain's ~0.4 error
+# on degenerate steps (tests/test_band_oracle.py gates the rest).
+_LP_REFINE_ITERS = 0
+
+
+def _seed_slack(z0, lam0, c, cand, h):
+    """Transition-aware warm start for the stage-0 slack LP: raise the
+    iterate's ECR slack to the CURRENT step's own violation level (one
+    shared-G0 matvec), and COLD-RESTART the duals on lanes where the
+    slack scale jumped.  Disturbance entries jump the optimal slack
+    discontinuously (Shell7x5: 0 -> 33.4 at the k=20 MD step); a warm
+    interior point spends ~30 iterations escaping the stale slack scale
+    and its committed duals (scripts/band_step_diag.py)."""
+    Gz = cand["rmask"] * ((cand["cmask_z"] * z0) @ c["G0"].T)
+    viol = jnp.maximum(Gz - h, 0.0)
+    V = jnp.maximum(-c["G0"][:, -1], 0.0)
+    extra = jnp.max(jnp.where(V > 1e-12, viol / jnp.maximum(V, 1e-12), 0.0),
+                    axis=-1)
+    eps_w = jnp.maximum(z0[..., -1], 0.0)
+    z0 = z0.at[..., -1].set(eps_w + extra + 1e-6)
+    jumped = extra > 1e-3 * (1.0 + eps_w)
+    lam0 = jnp.where(jumped[..., None] if lam0.ndim > 1 else jumped,
+                     jnp.ones_like(lam0), lam0)
+    return z0, lam0
+
+
 def _eps_split_stage2(solve_fn, z1, lam1, s1, c, cand, h, stage2_iters,
-                      init2=None, full_state=False):
+                      init2=None, full_state=False, refine_iters=0):
     """Stage 2 of the eps-split band solve (see parse_qp_method): freeze
     the ECR slack, fold it into the constraint rhs via the shared G0
     slack column, mask the slack variable, and re-solve warm-started.
@@ -338,7 +372,16 @@ def _eps_split_stage2(solve_fn, z1, lam1, s1, c, cand, h, stage2_iters,
     V = jnp.maximum(-slack_col, 0.0)
     extra = jnp.max(jnp.where(V > 1e-12, viol / jnp.maximum(V, 1e-12), 0.0),
                     axis=-1)
-    ehat = ((jnp.maximum(z1[..., -1], 0.0) + extra) * (1.0 + 1e-6) + 1e-8)
+    # feasibility margin at the precision noise floor: the relative part
+    # feeds straight into the frozen band rows' rhs, so an oversized
+    # margin IS the stage-2 du error floor (measured 2.6e-5 at 1e-6
+    # relative on the eps=33.4 Shell7x5 steps; 1e-9 clears the oracle
+    # gate at f64)
+    if z1.dtype == jnp.float64:
+        m_rel, m_abs = 1e-9, 1e-11
+    else:
+        m_rel, m_abs = 1e-6, 1e-8
+    ehat = ((jnp.maximum(z1[..., -1], 0.0) + extra) * (1.0 + m_rel) + m_abs)
     # masked rows keep h unchanged only in effect (rmask zeroes their G
     # rows; their h shift is harmless and keeps s = h2 > 0)
     h2 = h - slack_col * cand["rmask"] * ehat[..., None]
@@ -347,6 +390,15 @@ def _eps_split_stage2(solve_fn, z1, lam1, s1, c, cand, h, stage2_iters,
         # default: warm-start from stage 1's own iterate (slack zeroed)
         init2 = (z1.at[..., -1].set(0.0), lam1, s1)
     z2, lam2, s2 = solve_fn(h2, cmask2, init2, stage2_iters)
+    if refine_iters:
+        # Dual-based slack refinement — see the _LP_REFINE_ITERS note
+        # (kept for instrumentation; unsound as a default because g is
+        # dual-choice-dependent on the LICQ-violating band steps).
+        g = -jnp.sum(lam2 * cand["rmask"] * slack_col, axis=-1)
+        eps_star = g / cand["H"][..., -1, -1]  # H[-1,-1] = 2 rho_eps
+        ehat2 = jnp.maximum(ehat, eps_star)
+        h2b = h - slack_col * cand["rmask"] * ehat2[..., None]
+        z2, lam2, s2 = solve_fn(h2b, cmask2, (z2, lam2, s2), refine_iters)
     if full_state:
         return z2, lam2, s2
     return z2
@@ -419,8 +471,10 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
 
             if qp_lp:
                 # stage 0 slack LP replaces the joint stage 1 (band
-                # engine, '+lp' in parse_qp_method); BOTH stages carry
-                # their own warm-start state across timesteps
+                # engine, '+lp' in parse_qp_method): slack-seeded warm
+                # start across steps; stage 2 inits from the SAME-step LP
+                # state (cross-step stage-2 warm starts measurably stall
+                # at disturbance entries — scripts/band_step_diag.py)
                 def _solve_lp(h_, cmask_, init_, iters_):
                     return solve_qp_masked_fast(
                         cand["H_lp"], cand["f_lp"], c["G0"], c["T2"],
@@ -428,13 +482,15 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                         init_, engine=eng, block_lanes=fused_lanes,
                         solve_mode=fused_solve)
 
-                ws_lp, ws2 = ws
-                z1, lam1, s1 = _solve_lp(h, cand["cmask_z"], ws_lp, qp_lp)
-                z, lam2, s2 = _eps_split_stage2(
+                z0l, lam0l, s0l = ws
+                z0l, lam0l = _seed_slack(z0l, lam0l, c, cand, h)
+                z1, lam1, s1 = _solve_lp(h, cand["cmask_z"],
+                                         (z0l, lam0l, s0l), qp_lp)
+                ws = (z1, lam1, s1)
+                z = _eps_split_stage2(
                     _solve, z1, lam1, s1, c, cand, h,
                     qp_split if qp_split > 0 else qp_iters,
-                    init2=ws2, full_state=True)
-                ws = ((z1, lam1, s1), (z, lam2, s2))
+                    refine_iters=_LP_REFINE_ITERS)
             else:
                 z, lam_w, s_w = _solve(h, cand["cmask_z"], ws)
                 ws = (z, lam_w, s_w)
@@ -456,13 +512,15 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                         cand["rmask"], cmask_, h_, iters=iters_,
                         use_pallas=use_pallas, init=init_)
 
-                ws_lp, ws2 = ws
-                z1, lam1, s1 = _solve_lp(h, cand["cmask_z"], ws_lp, qp_lp)
-                z, lam2, s2 = _eps_split_stage2(
+                z0l, lam0l, s0l = ws
+                z0l, lam0l = _seed_slack(z0l, lam0l, c, cand, h)
+                z1, lam1, s1 = _solve_lp(h, cand["cmask_z"],
+                                         (z0l, lam0l, s0l), qp_lp)
+                ws = (z1, lam1, s1)
+                z = _eps_split_stage2(
                     _solve, z1, lam1, s1, c, cand, h,
                     qp_split if qp_split > 0 else qp_iters,
-                    init2=ws2, full_state=True)
-                ws = ((z1, lam1, s1), (z, lam2, s2))
+                    refine_iters=_LP_REFINE_ITERS)
             else:
                 z, lam_w, s_w = _solve(h, cand["cmask_z"], ws)
                 ws = (z, lam_w, s_w)
@@ -486,7 +544,8 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
                     cand["rmask"], cand["cmask_z"], h, iters=qp_lp,
                     use_pallas=use_pallas, init=None)
                 z = _eps_split_stage2(_solve, z1, lam1, s1, c, cand, h,
-                                      qp_split if qp_split > 0 else qp_iters)
+                                      qp_split if qp_split > 0 else qp_iters,
+                                      refine_iters=_LP_REFINE_ITERS)
             else:
                 z, lam1, s1 = _solve(h, cand["cmask_z"], None)
                 if qp_split:
@@ -511,8 +570,6 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
 
     if qp_method in ("pdip_ws", "pdip_ws_lanes", "pdip_ws_fused"):
         ws0 = (jnp.zeros(nz, dtype), jnp.ones(mc, dtype), jnp.ones(mc, dtype))
-        if qp_lp:  # (stage-0 LP state, stage-2 state) carried separately
-            ws0 = (ws0, ws0)
     else:
         ws0 = (jnp.zeros(nz, dtype), jnp.zeros(mc, dtype), jnp.zeros(mc, dtype))
     init = (jnp.zeros(nxp, dtype), jnp.zeros(nxa, dtype), jnp.zeros(nu, dtype), ws0)
@@ -559,7 +616,8 @@ def open_loop_core(c, r_final, v_final, v_traj, N, Nu, delta, lam,
             cand["H_lp"], cand["f_lp"], c["G0"], c["T2"], cand["rmask"],
             cand["cmask_z"], h, iters=int(qp_lp), use_pallas=use_pallas,
             init=None)
-        z = _eps_split_stage2(_solve, z, lam1, s1, c, cand, h, qp_iters)
+        z = _eps_split_stage2(_solve, z, lam1, s1, c, cand, h, qp_iters,
+                              refine_iters=_LP_REFINE_ITERS)
     else:
         z, lam1, s1 = _solve(h, cand["cmask_z"], None)
         if qp_split:  # band cases: two-stage eps-split (parse_qp_method)

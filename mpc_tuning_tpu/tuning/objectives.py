@@ -31,7 +31,8 @@ __all__ = ["TuningProblem", "gam_sse_batch", "vns_objective_batch",
 
 
 def resolve_qp_method(method: str, band: bool = False,
-                      stage: str = "gam", dims: dict | None = None) -> str:
+                      stage: str = "gam", dims: dict | None = None,
+                      f64: bool = False) -> str:
     """'auto' -> the fastest ACCURACY-QUALIFIED engine for the active
     backend and tuning stage; explicit names pass through.
 
@@ -50,7 +51,13 @@ def resolve_qp_method(method: str, band: bool = False,
       * Reduced-iteration warm PDIP: DISQUALIFIED (pdip_ws12 explodes
         ~1e6 relative on a Shell3x3 grid candidate).
     CPU keeps the lane-major jnp engine everywhere (f64 evaluation grade —
-    the parity/cross-eval frame)."""
+    the parity/cross-eval frame).  ``f64=True`` requests the same
+    evaluation-grade engine on ANY backend: on TPU the lanes engine runs
+    in XLA's true-53-bit emulated float64 with the unrolled jnp
+    factor/solve (ops/qp._factor_lanes_unrolled) — the decision-grade
+    band path (Pallas kernels are f32-only; callers pass
+    use_pallas=False, which TuningProblem does automatically when its
+    dtype is float64)."""
     if method != "auto":
         return method
     import jax
@@ -59,24 +66,26 @@ def resolve_qp_method(method: str, band: bool = False,
     if dims is not None:
         shape = (dims["p_max"], dims["m_max"], dims["ny"], dims["nu"],
                  dims["with_y"])
-    if jax.default_backend() == "cpu":
-        return "pdip_ws_lanes+split15" if band else "pdip_ws_lanes"
+    if jax.default_backend() == "cpu" or f64:
+        return "pdip_ws_lanes+lp20+split12" if band else "pdip_ws_lanes"
     if band:
-        # band cases: PDIP with the two-stage eps-split (joint interior
+        # band cases: PDIP with the slack-LP eps-split (joint interior
         # points stall ~5e-2 from the exact optimum where a large ECR
         # slack coexists with tiny move curvature — sim/mpc_loop
-        # parse_qp_method); fused on TPU, lanes-jnp on CPU
+        # parse_qp_method); fused on TPU, lanes-jnp on CPU.
+        # Round 5: stage 1's 60-iteration joint slack pin is replaced by
+        # a 20-iteration stage-0 slack LP (no rho/lambda scale spread;
+        # slack-seeded warm start; dual-based crossover refinement) —
+        # certified against the exact LP arbiter on EVERY step
+        # (tests/test_band_oracle.py, ops/band_cert.py) where the old
+        # split15 pin erred up to ~0.4 in du on degenerate steps.
         base = "pdip_ws_fused"
         if shape is not None:
             from mpc_tuning_tpu.ops.qp import fused_pdip_viable
 
             if not fused_pdip_viable(*shape):
                 base = "pdip_ws_lanes"
-        # stage 1 runs the full qp_iters (it must pin the ECR slack on the
-        # degenerate steps — 45 iters measurably fails); stage 2 converges
-        # in 15 on the well-conditioned slack-frozen subproblem (certified
-        # du agreement 5e-44, tests/test_band_oracle.py)
-        return base + "+split15"
+        return base + "+lp20+split12"
     if stage == "vns" and not band:
         if shape is not None:
             from mpc_tuning_tpu.ops.qp import admm_fused_max_lanes
@@ -180,14 +189,20 @@ class TuningProblem:
         )
         kw = {}
         iters = self.qp_iters
+        f64 = self.dtype == jnp.float64
         if hasattr(self.loop, "ctl"):  # linear engine supports qp_method
             raw = self.vns_qp_method if stage == "vns" else self.qp_method
             # engine viability (VMEM guards, lane widths) is judged at the
             # CAPPED shape the batch will actually run at
             m = resolve_qp_method(raw, band=bool(np.any(self.band_mask)),
                                   stage=stage,
-                                  dims=self.loop.capped(*caps).dims)
+                                  dims=self.loop.capped(*caps).dims,
+                                  f64=f64)
             kw["qp_method"] = m
+            if f64:
+                # decision-grade f64 on TPU: XLA-emulated float64 through
+                # the jnp lanes path (Pallas kernels are f32-only)
+                kw["use_pallas"] = False
             if m.split("@")[0].split("/")[0] in ("admm", "admm_fused"):
                 iters = self.admm_iters
         Y, U = self.loop.closed_batch(
@@ -220,11 +235,15 @@ class TuningProblem:
             from mpc_tuning_tpu.sim.mpc_loop import parse_qp_method
 
             band = bool(np.any(self.band_mask))
+            f64 = self.dtype == jnp.float64
             m = resolve_qp_method(self.qp_method, band=band, stage="gam",
-                                  dims=self.loop.capped(*caps).dims)
+                                  dims=self.loop.capped(*caps).dims,
+                                  f64=f64)
             _, _, _, split, lp = parse_qp_method(m)
             kw["qp_split"] = band and split != 0
             kw["qp_lp"] = lp if band else 0
+            if f64:
+                kw["use_pallas"] = False
         Y, U = self.loop.open_batch(
             jnp.asarray(rfin_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
             self.nit, self.dtype, self.qp_iters, mesh=self.mesh, caps=caps,

@@ -97,9 +97,17 @@ def harvest_qps(problem, ref, nit=NIT):
     return qps, c, cand, np.asarray(u_p)
 
 
-def certify(c, cand, f, h, sigma=0.0):
-    """LP+frozen-QP certified optimum: (z_star, eps_min).  Exact up to
-    O(lam^2/rho_eps) in eps and solver tolerance in du."""
+def certify(c, cand, f, h, nu=3):
+    """LP+frozen-QP certified optimum: (z_star, eps_min, du_sens).
+
+    eps_min is EXACT (scipy HiGHS LP; the band QP's optimal slack equals
+    it to O(lam^2/rho_eps)).  du is certified by the frozen-slack QP
+    re-solve; du_sens measures |du(ehat) - du(ehat(1+1e-6))| — on the
+    degenerate steps near-parallel band rows make du's sensitivity to
+    the frozen slack ~1e6, so du there is genuinely ill-posed at any
+    fixed tolerance (the same degeneracy that cycles Goldfarb-Idnani);
+    engines are gated on du only where du_sens is small, and on
+    eps + feasibility + objective elsewhere."""
     G0 = c["G0"]
     rmask, cmask = cand["rmask"], cand["cmask_z"]
     Gd = rmask[:, None] * G0 * cmask[None, :]
@@ -109,19 +117,26 @@ def certify(c, cand, f, h, sigma=0.0):
     res = linprog(cobj, A_ub=Gd, b_ub=h, bounds=[(None, None)] * n,
                   method="highs")
     if res.status != 0:
-        return None, None
+        return None, None, None
     eps_min = float(res.x[-1])
-    # frozen-slack QP re-solve (strictly convex in du)
-    ehat = max(eps_min, 0.0) * (1.0 + 1e-10) + 1e-12
     slack_col = G0[:, -1]
-    h2 = h - slack_col * rmask * ehat
     cmask2 = cmask.copy()
     cmask2[-1] = 0.0
-    z, _, _ = solve_qp_masked(
-        jnp.asarray(cand["H"]), jnp.asarray(f), jnp.asarray(G0),
-        jnp.asarray(c["T2"]), jnp.asarray(rmask), jnp.asarray(cmask2),
-        jnp.asarray(h2), iters=200)
-    return np.asarray(z), eps_min
+
+    def frozen(ehat):
+        h2 = h - slack_col * rmask * ehat
+        z, _, _ = solve_qp_masked(
+            jnp.asarray(cand["H"]), jnp.asarray(f), jnp.asarray(G0),
+            jnp.asarray(c["T2"]), jnp.asarray(rmask), jnp.asarray(cmask2),
+            jnp.asarray(h2), iters=200)
+        return np.asarray(z)
+
+    e0 = max(eps_min, 0.0) * (1.0 + 1e-9) + 1e-11
+    e1 = max(eps_min, 0.0) * (1.0 + 1e-6) + 1e-8
+    z = frozen(e0)
+    z1 = frozen(e1)
+    du_sens = float(np.abs(z[:nu] - z1[:nu]).max())
+    return z, eps_min, du_sens
 
 
 def main():
@@ -144,39 +159,64 @@ def main():
     n = c["G0"].shape[1]
     mc = c["G0"].shape[0]
 
-    lp_budgets = (8, 12, 16, 20, 30)
-    s2_budgets = (8, 15, 25, 40)
-    ws_lp = (jnp.zeros(n), jnp.ones(mc), jnp.ones(mc))
-    ws_lp_k = {K: ws_lp for K in lp_budgets}
-    ws_s2_k = {S: ws_lp for S in s2_budgets}
+    from mpc_tuning_tpu.sim.mpc_loop import _eps_split_stage2, _seed_slack
+
+    slack_col = c["G0"][:, -1]
+    cj = {"G0": G0j}
+    candj = {"rmask": rm, "cmask_z": cm, "H": Hj}
+
+    # engine-chain emulations along the production QP sequence: the
+    # '+lp<K>+split<S>' chain (seeded warm LP -> own-ehat freeze ->
+    # stage 2 from the LP state) and the production '+split15' chain
+    # (warm joint stage 1 -> own-ehat -> stage 2 from stage-1 state)
+    chains = {f"lp{K}s{S}": {"K": K, "S": S}
+              for K in (8, 10, 12, 16) for S in (8, 10, 12)}
+    chains["split15"] = {"K": None, "S": 15}
+    ws0 = (jnp.zeros(n), jnp.ones(mc), jnp.ones(mc))
+    state = {name: ws0 for name in chains}
+    Gd = np.asarray(rm_ := np.asarray(rm))[:, None] * np.asarray(G0j) \
+        * np.asarray(cm)[None, :]
+    H_np = np.asarray(Hj)
     rows = []
     for k, (f, h) in enumerate(qps):
-        z_star, eps_min = certify(c, cand, f, h)
+        z_star, eps_min, du_sens = certify(c, cand, f, h)
+        well_posed = du_sens is not None and du_sens < 1e-4
         du_star = None if z_star is None else z_star[:nu]
         hj = jnp.asarray(h)
         fj = jnp.asarray(f)
-        rec = {"k": k, "eps_min": eps_min}
-        # warm LP accuracy per budget
-        for K in lp_budgets:
-            z1, l1, s1 = solve_qp_masked(Hlp, flp, G0j, T2j, rm, cm, hj,
-                                         iters=K, init=ws_lp_k[K])
-            ws_lp_k[K] = (z1, l1, s1)
-            if eps_min is not None:
-                rec[f"lp{K}_deps"] = float(abs(float(z1[-1]) - eps_min))
-        # warm stage-2 accuracy per budget, using the CERTIFIED ehat
-        if eps_min is not None:
-            ehat = max(eps_min, 0.0) * (1.0 + 1e-6) + 1e-8
-            slack_col = c["G0"][:, -1]
-            h2 = jnp.asarray(h - slack_col * cand["rmask"] * ehat)
-            cm2 = jnp.asarray(
-                np.concatenate([cand["cmask_z"][:-1], [0.0]]))
-            for S in s2_budgets:
-                z2, l2, s2 = solve_qp_masked(Hj, fj, G0j, T2j, rm, cm2, h2,
-                                             iters=S, init=ws_s2_k[S])
-                ws_s2_k[S] = (z2, l2, s2)
-                if du_star is not None:
-                    rec[f"s2_{S}_du"] = float(
-                        np.abs(np.asarray(z2[:nu]) - du_star).max())
+        rec = {"k": k, "eps_min": eps_min, "du_sens": du_sens,
+               "well_posed": well_posed}
+
+        def solve_true(h_, cmask_, init_, iters_):
+            return solve_qp_masked(Hj, fj, G0j, T2j, rm, cmask_, h_,
+                                   iters=iters_, init=init_)
+
+        for name, cfg in chains.items():
+            z0, l0, s0 = state[name]
+            if cfg["K"] is None:  # production joint stage 1 (60 warm)
+                z1, l1, s1 = solve_true(hj, cm, (z0, l0, s0), 60)
+            else:
+                z0, l0 = _seed_slack(z0, l0, cj, candj, hj)
+                z1, l1, s1 = solve_qp_masked(Hlp, flp, G0j, T2j, rm, cm,
+                                             hj, iters=cfg["K"],
+                                             init=(z0, l0, s0))
+            state[name] = (z1, l1, s1)
+            z2 = _eps_split_stage2(solve_true, z1, l1, s1, cj, candj, hj,
+                                   cfg["S"])
+            if du_star is not None and well_posed:
+                rec[f"{name}_du"] = float(
+                    np.abs(np.asarray(z2[:nu]) - du_star).max())
+            elif du_star is not None:
+                # ill-posed du: gate optimality by OBJECTIVE + feasibility
+                # at the engine's own slack (immune to du multiplicity)
+                z2n = np.asarray(z2)
+                obj_e = 0.5 * z2n @ H_np @ z2n + f @ z2n
+                zs = np.asarray(z_star)
+                obj_a = 0.5 * zs @ H_np @ zs + f @ zs
+                rec[f"{name}_dobj"] = float(obj_e - obj_a)
+            if cfg["K"] is not None and eps_min is not None:
+                rec[f"{name}_deps"] = float(
+                    abs(float(z1[-1]) - eps_min) / (1.0 + abs(eps_min)))
         rows.append(rec)
 
     # summary
@@ -184,16 +224,15 @@ def main():
            "n_certified": sum(r["eps_min"] is not None for r in rows),
            "eps_pos_steps": sum(1 for r in rows
                                 if r["eps_min"] and r["eps_min"] > 1e-9)}
-    for K in lp_budgets:
-        vals = [r.get(f"lp{K}_deps") for r in rows
-                if r.get(f"lp{K}_deps") is not None]
-        out[f"lp{K}_max_deps"] = max(vals) if vals else None
-    for S in s2_budgets:
-        vals = [r.get(f"s2_{S}_du") for r in rows
-                if r.get(f"s2_{S}_du") is not None]
-        out[f"s2_{S}_max_du"] = max(vals) if vals else None
+    out["well_posed_steps"] = sum(1 for r in rows if r.get("well_posed"))
+    for name in chains:
+        for suff in ("du", "deps", "dobj"):
+            vals = [r.get(f"{name}_{suff}") for r in rows
+                    if r.get(f"{name}_{suff}") is not None]
+            if vals:
+                out[f"{name}_max_{suff}"] = max(vals)
     print(json.dumps(out, indent=1))
-    worst = sorted(rows, key=lambda r: -(r.get("lp12_deps") or 0))[:8]
+    worst = sorted(rows, key=lambda r: -(r.get("lp12s10_du") or 0))[:8]
     for r in worst:
         print(json.dumps({k2: (round(v, 10) if isinstance(v, float) else v)
                           for k2, v in r.items()}))

@@ -191,17 +191,19 @@ def main():
     case7 = shell7x5.make_case()
     problem7, _ = build_problem(case7, dtype=jnp.float32,
                                 L=np.diag(ref.L), R=np.diag(ref.R))
-    # round 4: the production band engine is the fused whole-PDIP with the
-    # two-stage eps-split (+split15) at the capacity-bucketed shape — the
-    # round-3 'VMEM wall' was Mosaic's default scoped limit, and the split
-    # fixed the joint engines' stall/divergence on degenerate band steps
-    # (PARITY.md round-4 notes).  The pairwise gate auto-scales with the
-    # baseline engine's own f32-vs-f64 error, which on this chaotic band
-    # workload IS large — f32 band sims are screening-grade by policy.
-    out["shell7x5_auto_engine"] = "pdip_ws_fused+split15"
+    # round 5: the production band engine is the fused whole-PDIP with
+    # the slack-LP eps-split (+lp20+split12, sim/mpc_loop.parse_qp_method)
+    # at the capacity-bucketed shape — the stage-0 LP pins the ECR slack
+    # exactly (certified per step against scipy's LP in
+    # tests/test_band_oracle.py) where round 4's 60-iteration joint
+    # stage 1 erred up to ~0.4 in du on degenerate steps.  The pairwise
+    # gate auto-scales with the baseline engine's own f32-vs-f64 error,
+    # which on this chaotic band workload IS large — f32 band sims are
+    # screening-grade by policy.
+    out["shell7x5_auto_engine"] = "pdip_ws_fused+lp20+split12"
     run_case(out, "shell7x5", problem7, 32, case7.nit, 60,
-             ["pdip_ws+split15", "pdip_ws_lanes+split15",
-              "pdip_ws_fused+split15"], "pdip_ws+split15",
+             ["pdip_ws+lp20+split12", "pdip_ws_lanes+lp20+split12",
+              "pdip_ws_fused+lp20+split12"], "pdip_ws+lp20+split12",
              rng_seed=1, delta_ref=ref.delta, lam_lo=0.02, lam_hi=2.0)
 
     out["failures"] = FAILS

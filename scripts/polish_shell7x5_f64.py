@@ -14,7 +14,13 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# --tpu: run the same f64 VNS descent ON the chip (true-53-bit XLA f64;
+# qualified by scripts/qualify_band_decisions_tpu.py)
+ON_TPU = "--tpu" in sys.argv
+if ON_TPU:
+    sys.argv.remove("--tpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import json

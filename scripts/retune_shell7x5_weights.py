@@ -31,10 +31,15 @@ import time
 import numpy as np
 import jax
 
-# band decisions are finalized at f64 (PARITY.md): the f32 band loop can
+# Band decisions are finalized at f64 (PARITY.md): the f32 band loop can
 # DIVERGE where f64 is stable (measured round 4: SSE_y1 5615 at f32 vs
-# 0.0028 at f64 on the same point), so this search runs on CPU/f64.
-jax.config.update("jax_platforms", "cpu")
+# 0.0028 at f64 on the same point).  Round 5: pass --tpu to run the SAME
+# f64 search ON the chip — XLA:TPU executes true 53-bit float64 and the
+# lanes engine with the unrolled jnp factor/solve is decision-grade
+# there (qualified by scripts/qualify_band_decisions_tpu.py).
+ON_TPU = "--tpu" in sys.argv
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
@@ -55,7 +60,7 @@ def main():
     ref = REF_TUNED["Shell7x5"]
     repo = load_repo_point(REPO_TUNED_REFSCALE["Shell7x5"])
     case = shell7x5.make_case()
-    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+    dtype = jnp.float64  # decision-grade everywhere (x64 on; TPU runs true f64)
     problem, _ = build_problem(case, dtype=dtype, qp_iters=60,
                                L=np.diag(ref.L), R=np.diag(ref.R))
     N, Nu = int(repo.N), repo.Nu

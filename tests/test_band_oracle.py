@@ -18,9 +18,14 @@ activate, tests/test_caps.py):
      the joint engines stalled 5e-2 away before round 4's split).
 
 GI cycles on the remaining degenerate steps (large optimal ECR slack,
-near-parallel band rows — PARITY.md band-QP notes); no exact arbiter
-exists there, so those steps are counted but not gated: the gate requires
-a minimum certified coverage and exactness on every certified step.
+near-parallel band rows — PARITY.md band-QP notes).  Round 5 closes that
+coverage gap with the LP+frozen-QP arbiter (ops/band_cert.py): scipy's
+exact LP certifies the ECR slack on EVERY step, du is certified where it
+is well-posed (its sensitivity to the frozen slack is ~1e4-1e6 on the
+degenerate steps — the same degeneracy that cycles GI — so du there is
+gated by feasibility + objective optimality instead).  The GI stepwise
+gate below is kept for the steps GI can still certify with eps == 0 (the
+well-conditioned joint QPs, where 1e-6 exactness is meaningful).
 
 Reference semantics: Shell7x5.m:296-310 closed loop with the
 Shell7x5.m:100-189 band/ECR/ScaleFactor settings via the toolbox `sim`
@@ -71,7 +76,7 @@ def _production_run(problem, ref, mismatch: bool, nit: int):
         loop = MPCLoop(ctl=loop.ctl, plant_ss=plant_c)
     y, u = loop.simulate(problem.r, problem.v, nit, int(ref.N),
                          int(ref.Nu.max()), ref.delta, ref.lam,
-                         qp_method="pdip_ws_lanes+split15", qp_iters=60)
+                         qp_method="pdip_ws_lanes+lp20+split12", qp_iters=60)
     return np.asarray(y), np.asarray(u)
 
 
@@ -119,7 +124,12 @@ def _stepwise_errors(problem, ref, mismatch: bool, nit: int = NIT):
             Theta, free, r[k], u_prev, lam_eff, umax_c, v_eff,
             ymin_c, ymax_c, spec.rho_eps, N, Nu, ny, nu)
         z = _gi_certified(H, f, G, h)
-        if z is not None:
+        # tight e_u gate only where the joint QP is well-conditioned
+        # (eps == 0): with a positive optimal slack, du's sensitivity to
+        # eps is ~1e4-1e6 (ops/band_cert.py) and 1e-6 exactness is not a
+        # meaningful bar — those steps are certified by the LP arbiter
+        # test instead.
+        if z is not None and abs(float(z[-1])) <= 1e-9:
             n_cert += 1
             u = u_prev + z[:nu]
             e_u = max(e_u, float(np.abs(u - Up[k]).max()))
@@ -154,3 +164,24 @@ def test_band_full_loop_oracle_mismatch_plant(band_problem):
     assert e_plant < 1e-6, f"plant replay mismatch {e_plant}"
     assert n_cert >= MIN_CERTIFIED, f"only {n_cert} certified steps"
     assert e_u < 1e-6, f"control-move mismatch {e_u} over {n_cert} steps"
+
+
+def test_band_lp_certified_every_step(band_problem):
+    """Round-5 full-coverage gate (ops/band_cert.py): along the
+    production trajectory, the production '+lp20+split12' chain must pin
+    the ECR slack to the EXACT LP minimum on every step (<= 1e-6
+    relative), reproduce the certified du where du is well-posed, and be
+    objective-optimal on the degenerate (ill-posed-du) steps."""
+    from mpc_tuning_tpu.ops.band_cert import engine_step_errors, harvest_qps
+
+    problem, ref = band_problem
+    _, Up = _production_run(problem, ref, mismatch=False, nit=NIT)
+    qps, c, cand = harvest_qps(problem, int(ref.N), int(ref.Nu.max()),
+                               ref.delta, ref.lam, Up, NIT)
+    out = engine_step_errors(problem, qps, c, cand, lp_iters=20,
+                             s2_iters=12)
+    assert out["n_steps"] == NIT
+    assert out["n_eps_pos"] > 20, out  # the band-active phase is covered
+    assert out["deps_rel"] < 1e-6, out
+    assert out["du_well_posed"] < 1e-3, out
+    assert out["dobj_ill_posed"] < 1e-6, out

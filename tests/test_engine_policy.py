@@ -67,9 +67,9 @@ def test_auto_resolution_on_tpu_backend(monkeypatch):
     # and always two-stage eps-splits (joint IPMs stall on the band scale
     # mix — sim/mpc_loop.parse_qp_method)
     assert resolve_qp_method("auto", stage="vns", band=True,
-                             dims=S7) == "pdip_ws_fused+split15"
+                             dims=S7) == "pdip_ws_fused+lp20+split12"
     assert resolve_qp_method("auto", stage="gam", band=True,
-                             dims=S7) == "pdip_ws_fused+split15"
+                             dims=S7) == "pdip_ws_fused+lp20+split12"
     assert resolve_qp_method("auto", stage="gam", dims=WB) == "pdip_ws_fused"
     assert resolve_qp_method("auto", stage="gam", dims=S3) == "pdip_ws_fused"
     # Shell7x5 now VMEM-viable for the fused PDIP (round-4 probe + raised
@@ -84,7 +84,7 @@ def test_auto_resolution_on_cpu_backend():
         assert resolve_qp_method("auto", band=False, stage=stage,
                                  dims=WB) == "pdip_ws_lanes"
         assert resolve_qp_method("auto", band=True, stage=stage,
-                                 dims=WB) == "pdip_ws_lanes+split15"
+                                 dims=WB) == "pdip_ws_lanes+lp20+split12"
     # explicit names always pass through
     assert resolve_qp_method("admm", stage="vns") == "admm"
     assert resolve_qp_method("pdip_ws_fused@256") == "pdip_ws_fused@256"
