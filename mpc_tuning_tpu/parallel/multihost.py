@@ -142,7 +142,8 @@ def multihost_candidate_argmin(mesh, local_eval_fn, global_args, B_true: int):
 # ----------------------------------------------------------- selftest
 
 
-def _alternation_worker(coordinator: str, nprocs: int, pid: int) -> None:
+def _alternation_worker(coordinator: str, nprocs: int, pid: int,
+                        bench: bool = False) -> None:
     """One process of the 2-process PRODUCTION-TUNER validation: one full
     GAM <-> VNS alternation of the Wood-Berry case (small budget,
     tuning/api.hybrid_tune — the MPC_TFob.m:56-132 loop) runs twice —
@@ -150,10 +151,20 @@ def _alternation_worker(coordinator: str, nprocs: int, pid: int) -> None:
     the tuned incumbents (N, Nu, delta, lambda) must be BIT-identical
     (the recorded objective to machine precision).
     This exercises the exact entry point users get via
-    mpc_tuning(case, mesh=...) / `mpc-tuning-run --mesh auto`."""
+    mpc_tuning(case, mesh=...) / `mpc-tuning-run --mesh auto`.
+
+    ``bench``: run the PRODUCTION-SHAPE workload instead of the toy one
+    (nit=400, nbp=7/nbc=4 -> p_max=127, qp_iters=15, popsize 8 x 2
+    generations, f32 — the bench.py tuning shape) and TIME both legs so
+    the scaling report records the mesh's tuner-level overhead at real
+    shapes (round-4 verdict item 7; the virtual-CPU mesh adds no
+    compute, so overhead-vs-unsharded is the signal, not speedup)."""
+    import time
+
     import jax
 
-    jax.config.update("jax_enable_x64", True)  # f64 evaluation grade
+    if not bench:
+        jax.config.update("jax_enable_x64", True)  # f64 evaluation grade
     initialize(coordinator, nprocs, pid)
     assert jax.process_count() == nprocs, jax.process_count()
 
@@ -162,16 +173,28 @@ def _alternation_worker(coordinator: str, nprocs: int, pid: int) -> None:
     from mpc_tuning_tpu.cases import woodberry
     from mpc_tuning_tpu.tuning.api import build_problem, hybrid_tune
 
-    case = woodberry.make_case(nit=40, nbp=4, nbc=2)
-    problem, _ = build_problem(case, dtype=jnp.float64, qp_iters=10)
+    if bench:
+        case = woodberry.make_case(nit=400)  # nbp=7, nbc=4 (bench shape)
+        problem, _ = build_problem(case, dtype=jnp.float32, qp_iters=15)
+        kw = dict(gam_popsize=8, gam_generations=2, max_alternations=1,
+                  seed=0, verbose=False, final_polish=False,
+                  joint_polish=False)
+    else:
+        case = woodberry.make_case(nit=40, nbp=4, nbc=2)
+        problem, _ = build_problem(case, dtype=jnp.float64, qp_iters=10)
+        kw = dict(gam_popsize=4, gam_generations=2, max_alternations=1,
+                  seed=0, verbose=False, final_polish=False,
+                  joint_polish=False)
     x0 = np.concatenate([case.ov_weight0, case.mvrate_weight0])
-    kw = dict(gam_popsize=4, gam_generations=2, max_alternations=1,
-              seed=0, verbose=False, final_polish=False, joint_polish=False)
+    t0 = time.perf_counter()
     best_r, d_r, l_r, F_r, _, _ = hybrid_tune(problem, case.nbp, case.nbc,
                                               x0, **kw)
+    t_ref = time.perf_counter() - t0
     problem.mesh = host_mesh()
+    t0 = time.perf_counter()
     best_s, d_s, l_s, F_s, _, _ = hybrid_tune(problem, case.nbp, case.nbc,
                                               x0, **kw)
+    t_mesh = time.perf_counter() - t0
     # incumbents (the tuner's DECISIONS) must be bit-identical; the
     # recorded objective may differ by a few ulps because XLA tiles the
     # per-shard batch shapes differently (measured 7e-16 relative)
@@ -182,10 +205,14 @@ def _alternation_worker(coordinator: str, nprocs: int, pid: int) -> None:
     assert np.array_equal(l_s, l_r), (l_s, l_r)
     assert abs(F_s - F_r) <= 1e-12 * max(1.0, abs(F_r)), (F_s, F_r)
     if pid == 0:
+        extra = (f" wall_unsharded_s={t_ref:.1f} wall_mesh_s={t_mesh:.1f} "
+                 f"mesh_overhead_x={t_mesh / max(t_ref, 1e-9):.2f}"
+                 if bench else "")
         print(f"MULTIHOST_TUNE_OK procs={nprocs} "
               f"devices={jax.device_count()} N={best_s['N']} "
               f"Nu={np.asarray(best_s['Nu']).tolist()} "
-              f"objective={F_s:.6g} bitwise_identical=1", flush=True)
+              f"objective={F_s:.6g} bitwise_identical=1"
+              f"{extra}", flush=True)
 
 
 def _selftest_worker(coordinator: str, nprocs: int, pid: int,
@@ -303,7 +330,8 @@ def run_two_process_cpu_selftest(nprocs: int = 2, per_proc_devices: int = 4,
         outs.append(out)
         ok = ok and (p.returncode == 0)
     joined = "\n".join(outs)
-    tag = "MULTIHOST_TUNE_OK" if mode == "alternation" else "MULTIHOST_OK"
+    tag = ("MULTIHOST_TUNE_OK" if mode.startswith("alternation")
+           else "MULTIHOST_OK")
     if not ok or tag not in joined:
         raise RuntimeError(f"multihost selftest failed:\n{joined}")
     return next(l for l in joined.splitlines() if l.startswith(tag))
@@ -318,12 +346,14 @@ def main(argv=None):
     ap.add_argument("--pid", type=int, default=0)
     ap.add_argument("--bench-B", type=int, default=0)
     ap.add_argument("--bench-nit", type=int, default=0)
-    ap.add_argument("--mode", choices=["sweep", "alternation"],
+    ap.add_argument("--mode",
+                    choices=["sweep", "alternation", "alternation_bench"],
                     default="sweep")
     args = ap.parse_args(argv)
     if args.worker:
-        if args.mode == "alternation":
-            _alternation_worker(args.coordinator, args.nprocs, args.pid)
+        if args.mode.startswith("alternation"):
+            _alternation_worker(args.coordinator, args.nprocs, args.pid,
+                                bench=args.mode == "alternation_bench")
         else:
             _selftest_worker(args.coordinator, args.nprocs, args.pid,
                              args.bench_B, args.bench_nit)

@@ -189,7 +189,32 @@ def two_process_row(B=1024):
     for part in line.split():
         if part.startswith("sims_per_s="):
             d["sims_per_s"] = float(part.split("=")[1])
-    return [d]
+    rows = [d]
+
+    # round-5: the PRODUCTION TUNER (hybrid_tune, one GAM<->VNS
+    # alternation) under the distributed mesh at the bench shape
+    # (p_max=127, nit=400, f32) — times the tuner-level mesh overhead
+    # instead of the raw sweep (round-4 verdict item 7)
+    t0 = time.perf_counter()
+    line2 = run_two_process_cpu_selftest(bench_B=0, bench_nit=0,
+                                         mode="alternation_bench",
+                                         timeout=3600.0)
+    wall2 = time.perf_counter() - t0
+    d2 = {"kind": "jax_distributed_2proc_production_tuner",
+          "processes": 2, "devices": 8,
+          "physical_cores": os.cpu_count(), "ok_line": line2,
+          "wall_s_incl_startup": round(wall2, 1),
+          "workload": "hybrid_tune, 1 GAM<->VNS alternation, popsize 8 x "
+                      "2 generations, nit=400, nbp=7/nbc=4, qp_iters=15",
+          "note": "bit-identical incumbents asserted in-worker; on this "
+                  "2-core host the mesh adds no compute, so "
+                  "mesh_overhead_x is the transferable signal"}
+    for part in line2.split():
+        for key in ("wall_unsharded_s", "wall_mesh_s", "mesh_overhead_x"):
+            if part.startswith(key + "="):
+                d2[key] = float(part.split("=")[1])
+    rows.append(d2)
+    return rows
 
 
 def main(argv=None):

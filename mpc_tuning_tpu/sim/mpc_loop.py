@@ -327,6 +327,9 @@ def parse_qp_method(qp_method: str):
 # on degenerate steps (tests/test_band_oracle.py gates the rest).
 _LP_REFINE_ITERS = 0
 
+# PDIP polish length of the 'hybrid[_fused]' GAM-stage engine
+_HYBRID_POLISH_ITERS = 5
+
 
 def _seed_slack(z0, lam0, c, cand, h):
     """Transition-aware warm start for the stage-0 slack LP: raise the
@@ -453,6 +456,25 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
             z, ws = solve_qp_admm_fast(
                 cand["admm"], f, h, cand["rmask"], cand["cmask_z"], c["G0"],
                 ws, qp_iters, block_lanes=fused_lanes)
+        elif qp_method in ("hybrid", "hybrid_fused"):
+            # GAM-stage hybrid (round-3 verdict item, qualified round 5):
+            # a warm whole-ADMM prefix (qp_iters iterations; matmul-only,
+            # ~6-op dependency chain per iteration) followed by a SHORT
+            # warm PDIP polish initialized at the ADMM point with the
+            # ADMM duals.  ADMM alone rank-flips the GAM objective at
+            # large gaps on extreme weight vectors (PERF.md engine
+            # policy); the polish restores PDIP-grade accuracy at a
+            # fraction of the fused PDIP's serial-Cholesky chain.
+            z_a, ws = solve_qp_admm_fast(
+                cand["admm"], f, h, cand["rmask"], cand["cmask_z"],
+                c["G0"], ws, qp_iters, block_lanes=fused_lanes)
+            y_a = ws[2]
+            z, _, _ = solve_qp_masked_fast(
+                cand["H"], f, c["G0"], c["T2"], cand["rmask"],
+                cand["cmask_z"], h, _HYBRID_POLISH_ITERS, use_pallas,
+                (z_a, y_a, jnp.ones_like(y_a)),
+                engine="fused" if qp_method == "hybrid_fused" else "lanes",
+                block_lanes=fused_lanes, solve_mode=fused_solve)
         elif qp_method in ("pdip_ws_lanes", "pdip_ws_fused"):
             # warm-started PDIP through the lane-major batched engine: under
             # vmap over candidates the custom_vmap rule runs the whole
@@ -556,7 +578,7 @@ def closed_loop_core(c, r, v, N, Nu, delta, lam,
             raise ValueError(
                 f"unknown qp_method {qp_method!r}; use 'auto' via "
                 "TuningProblem or one of pdip/pdip_dense/pdip_ws/"
-                "pdip_ws_lanes/pdip_ws_fused[@lanes][/mode]/admm/"
+                "pdip_ws_lanes/pdip_ws_fused[@lanes][/mode]/hybrid[_fused]/admm/"
                 "admm_fused[@lanes]")
         du = z[:nu]
         u_s = u_prev + du

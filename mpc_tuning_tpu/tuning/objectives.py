@@ -203,8 +203,9 @@ class TuningProblem:
                 # decision-grade f64 on TPU: XLA-emulated float64 through
                 # the jnp lanes path (Pallas kernels are f32-only)
                 kw["use_pallas"] = False
-            if m.split("@")[0].split("/")[0] in ("admm", "admm_fused"):
-                iters = self.admm_iters
+            if m.split("@")[0].split("/")[0] in ("admm", "admm_fused",
+                                                 "hybrid", "hybrid_fused"):
+                iters = self.admm_iters  # = the ADMM(-prefix) iteration count
         Y, U = self.loop.closed_batch(
             jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
             self.nit, self.dtype, iters, mesh=self.mesh, caps=caps, **kw,
@@ -291,9 +292,18 @@ def vns_objective_batch(
     the parity cross-evaluation and the band-objective audit."""
     B = len(N_b)
     my, nu, nit, inK = problem.my, problem.nu, problem.nit, problem.inK
-    delta = _apply_band(np.abs(np.asarray(delta, dtype=np.float64)),
-                        problem.band_mask)
+    # weights may be shared (my,)/(nu,) — the VNS neighborhood case — or
+    # per-candidate (B, my)/(B, nu): the weight-search decision path
+    # scores a LAMBDA grid in one batched device call instead of B
+    # latency-bound B=1 calls (the TPU f64 decision engine is ~10x
+    # slower than CPU at B=1 and ~5-10x faster batched)
+    delta = np.abs(np.asarray(delta, dtype=np.float64))
     lam = np.abs(np.asarray(lam, dtype=np.float64))
+    if delta.ndim == 1:
+        delta = np.broadcast_to(delta, (B, my))
+    if lam.ndim == 1:
+        lam = np.broadcast_to(lam, (B, nu))
+    delta = _apply_band(delta, problem.band_mask[None, :])
 
     if problem.square:
         if problem.linear:
@@ -313,8 +323,8 @@ def vns_objective_batch(
         r_b = np.broadcast_to(steps[None], (B, my, nit, my)).reshape(B * my, nit, my)
         N_l = np.repeat(N_b, my)
         Nu_l = np.repeat(Nu_b, my)
-        d_l = np.broadcast_to(delta, (B * my, my))
-        l_l = np.broadcast_to(lam, (B * my, nu))
+        d_l = np.repeat(delta, my, axis=0)
+        l_l = np.repeat(lam, my, axis=0)
         Yc, Uc = problem.closed_batch(r_b, N_l, Nu_l, d_l, l_l, stage="vns")
         Yo, Uo = problem.open_batch(rfin_b, N_l, Nu_l, d_l, l_l)
         Yc = np.asarray(Yc).reshape(B, my, nit, my)
@@ -328,8 +338,8 @@ def vns_objective_batch(
     else:
         r_b = np.broadcast_to(problem.r[:nit], (B, nit, my))
         rfin_b = np.broadcast_to(problem.r[nit - 1], (B, my))
-        d_b = np.broadcast_to(delta, (B, my))
-        l_b = np.broadcast_to(lam, (B, nu))
+        d_b = delta
+        l_b = lam
         Yc, Uc = problem.closed_batch(r_b, N_b, Nu_b, d_b, l_b, stage="vns")
         Yo, Uo = problem.open_batch(rfin_b, N_b, Nu_b, d_b, l_b)
         Xy = np.asarray(Yc).transpose(0, 2, 1)  # (B, my, nit)

@@ -39,12 +39,17 @@ from mpc_tuning_tpu.utils.io import save_tuning
 def main():
     ref = REF_TUNED["Shell7x5"]
     # optional CLI arg: the raw (pre-polish) tuning npz to start from;
-    # default = the committed pointer
+    # default = the committed pointer.  The polish runs in the SOURCE
+    # artifact's own conditioning frame (its committed L/R — the refscale
+    # chain carries the reference's, the own-scale chain its CondMin's).
     src = sys.argv[1] if len(sys.argv) > 1 else REPO_TUNED_REFSCALE["Shell7x5"]
     repo = load_repo_point(src)
+    # TunedPoint carries L/R as diag VECTORS (cross_eval.load_repo_point)
+    L = np.diag(repo.L if repo.L is not None else ref.L)
+    R = np.diag(repo.R if repo.R is not None else ref.R)
+    refscale = np.allclose(np.diag(L), ref.L)
     case = shell7x5.make_case()
-    problem, _ = build_problem(case, L=np.diag(ref.L), R=np.diag(ref.R),
-                               qp_iters=60)
+    problem, _ = build_problem(case, L=L, R=R, qp_iters=60)
 
     Xv1 = int_to_bits(int(repo.N), case.nbp)
     Xv2 = np.stack([int_to_bits(int(v), case.nbc) for v in repo.Nu])
@@ -57,11 +62,14 @@ def main():
     vr = vns_search(problem, Xv1, Xv2, repo.delta, repo.lam, F0, verbose=True)
     wall = time.time() - t0
     N, Nu, F = (vr.N, vr.Nu, vr.Fv) if vr.Fv < F0 else (int(repo.N), repo.Nu, F0)
-    ck = save_tuning("checkpoints", "Shell7x5_refscale_f64polish", N, Nu,
-                     repo.delta, repo.lam, np.diag(ref.L), np.diag(ref.R),
-                     [F, F0])
+    tag = "Shell7x5_refscale_f64polish" if refscale else "Shell7x5_f64polish"
+    ck = save_tuning("checkpoints", tag, N, Nu,
+                     repo.delta, repo.lam, L, R, [F, F0])
     out = {
-        "case": "Shell7x5", "stage": "f64 polish (CPU)", "wall_s": round(wall, 1),
+        "case": "Shell7x5",
+        "stage": "f64 polish (%s)" % ("TPU" if ON_TPU else "CPU"),
+        "frame": "refscale" if refscale else "own CondMin scale",
+        "wall_s": round(wall, 1),
         "from": {"N": int(repo.N), "Nu": repo.Nu.tolist(), "F_f64": F0},
         "N": int(N), "Nu": np.asarray(Nu).tolist(),
         "delta": repo.delta.tolist(), "lambda": repo.lam.tolist(),
@@ -69,7 +77,9 @@ def main():
         "reference_F_vns_f64": 122.41,
         "checkpoint": ck,
     }
-    with open("checkpoints/Shell7x5_f64polish_run.json", "w") as f:
+    runp = ("checkpoints/Shell7x5_f64polish_run.json" if refscale
+            else "checkpoints/Shell7x5_ownscale_f64polish_run.json")
+    with open(runp, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

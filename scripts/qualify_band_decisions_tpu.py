@@ -128,12 +128,12 @@ def main():
     short = sorted(set(list(order[:8]) + [0, 1]))
 
     def eval_F(idx):
-        F = []
-        for i in idx:
-            Fi = vns_objective_batch(problem, np.array([N]),
-                                     np.array([Numax]), delta0, lams[i])[0]
-            F.append(float(Fi) if np.isfinite(Fi) else 1e30)
-        return np.asarray(F)
+        # ONE batched device call over the lambda shortlist
+        F = vns_objective_batch(problem, np.full(len(idx), N),
+                                np.full(len(idx), Numax),
+                                np.tile(delta0, (len(idx), 1)),
+                                lams[np.asarray(idx)])
+        return np.where(np.isfinite(F), F, 1e30)
 
     t0 = time.perf_counter()
     F_tpu = eval_F(short)

@@ -107,7 +107,8 @@ def gam_table(problem, N, Nu, X):
         return gam_sse_batch(problem, N, Nu, X).sum(axis=1)
 
     F_ref = eval_S("pdip_ws", 15)
-    for method, iters in (("admm", 40), ("admm", 80)):
+    for method, iters in (("admm", 40), ("admm", 80), ("hybrid", 40),
+                          ("hybrid", 60)):
         F = eval_S(method, iters)
         nflip, npair, g = pairwise_flips(F, F_ref)
         rows[f"{method}{iters}"] = {
@@ -115,6 +116,71 @@ def gam_table(problem, N, Nu, X):
             "argmin_same": bool(F.argmin() == F_ref.argmin()),
             "flipped_pairs": nflip, "pairs": npair,
             "worst_flipped_rel_gap": g,
+        }
+    problem.qp_method = "auto"
+    problem.qp_iters = 30
+    return rows
+
+
+def cma_trajectory_table(problem, N, Nu, x0, popsize=12, generations=8,
+                         seed=3):
+    """Qualify GAM-stage engines against the weight-vector DISTRIBUTION
+    the CMA-ES search actually visits (round-4 verdict item 6: grids are
+    not the search's distribution).  Harvests every generation's
+    population from a real gam_solve run, then checks per-generation
+    gamma ORDERINGS (CMA consumes rankings) per engine vs the f64
+    pdip_ws15 truth."""
+    from mpc_tuning_tpu.tuning import gam as gam_mod
+
+    pops = []
+    orig = gam_mod.gam_sse_batch
+
+    def rec(problem_, N_, Nu_, X):
+        pops.append(np.asarray(X).copy())
+        return orig(problem_, N_, Nu_, X)
+
+    gam_mod.gam_sse_batch = rec
+    try:
+        gam_mod.gam_solve(problem, N, Nu, x0, popsize=popsize,
+                          generations=generations, seed=seed)
+    finally:
+        gam_mod.gam_sse_batch = orig
+
+    w = np.asarray(problem.w)
+
+    def gamma_of(S):
+        return np.max((S - problem.goal) / w[None, :], axis=1)
+
+    def eval_g(method, iters, X):
+        problem.qp_method = method
+        problem.qp_iters = iters
+        problem.admm_iters = iters
+        S = gam_sse_batch(problem, N, Nu, X)
+        S = np.where(np.isfinite(S), S, 1e30)
+        return gamma_of(S)
+
+    rows = {}
+    for method, iters in (("hybrid", 40), ("admm", 40)):
+        worst_gap = 0.0
+        argmin_ok = True
+        tot_flips = 0
+        tot_pairs = 0
+        max_rel = 0.0
+        for X in pops:
+            g_ref = eval_g("pdip_ws", 15, X)
+            g = eval_g(method, iters, X)
+            nflip, npair, gap = pairwise_flips(g, g_ref)
+            tot_flips += nflip
+            tot_pairs += npair
+            worst_gap = max(worst_gap, gap)
+            argmin_ok &= bool(g.argmin() == g_ref.argmin())
+            max_rel = max(max_rel, float(np.max(
+                np.abs(g - g_ref) / np.maximum(np.abs(g_ref), 1e-9))))
+        rows[f"{method}{iters}"] = {
+            "generations": len(pops), "popsize": popsize,
+            "argmin_same_every_generation": argmin_ok,
+            "flipped_pairs": tot_flips, "pairs": tot_pairs,
+            "worst_flipped_rel_gap": worst_gap, "max_rel_dgamma": max_rel,
         }
     problem.qp_method = "auto"
     problem.qp_iters = 30
@@ -159,7 +225,10 @@ def main():
                     np.abs(rng.uniform(0.02, 2.0, size=(24, 4))))
     traj = traj_errors(problem, 20, 4, np.array([1.0, 1.0]),
                        np.array([0.1, 0.1]), 400)
+    cma = cma_trajectory_table(problem, 20, 4,
+                               np.array([1.0, 1.0, 0.1, 0.1]))
     out["WoodBerry"] = {"vns_grid": vns, "gam_population": gam,
+                        "gam_cma_trajectory": cma,
                         "trajectory_vs_f64_truth": traj, "grid_size": len(grid)}
 
     # ---- Shell3x3 (tracking, 3x3, the harder conditioning)
@@ -177,7 +246,10 @@ def main():
     gam3 = gam_table(problem3, 24, 6,
                      np.abs(rng.uniform(0.0005, 0.1, size=(16, 6))))
     traj3 = traj_errors(problem3, 24, 6, ref.delta, ref.lam, 500)
+    cma3 = cma_trajectory_table(
+        problem3, 24, 6, np.concatenate([ref.delta, ref.lam]))
     out["Shell3x3"] = {"vns_grid": vns3, "gam_population": gam3,
+                       "gam_cma_trajectory": cma3,
                        "trajectory_vs_f64_truth": traj3,
                        "grid_size": len(grid3)}
 
@@ -190,8 +262,17 @@ def main():
              and vns3["admm40"]["worst_flipped_rel_gap"]
              <= max(1e-2, 3 * vns3["pdip_ws15_f32_noise_bar"]
                     ["worst_flipped_rel_gap"]))
+    hyb_ok = True
+    for case_rows in (out["WoodBerry"], out["Shell3x3"]):
+        r = case_rows["gam_cma_trajectory"]["hybrid40"]
+        p = case_rows["gam_population"]["hybrid40"]
+        hyb_ok &= (r["argmin_same_every_generation"]
+                   and r["worst_flipped_rel_gap"] <= 1e-2
+                   and p["argmin_same"]
+                   and p["worst_flipped_rel_gap"] <= 1e-2)
     out["verdicts"] = {
         "admm40_vns_tracking_qualified": bool(wb_ok and s3_ok),
+        "hybrid40_gam_qualified": bool(hyb_ok),
         "admm_gam_qualified": False,
         "admm_band_qualified": False,
         "reduced_iter_pdip_qualified": False,
@@ -204,6 +285,15 @@ def main():
             "band QP (tests/test_production_qp.py).",
             "Reduced-iteration warm PDIP is DISQUALIFIED: pdip_ws12 "
             "explodes by ~1e6 relative on a Shell3x3 grid candidate.",
+            "Round 5: the hybrid (warm-ADMM prefix + short PDIP polish) "
+            "passes every STATIC grid (0 flips) but is DISQUALIFIED on "
+            "the CMA weight-trajectory distribution: argmin flips and "
+            "top-mu ordering flips at 12% gamma gaps on generations "
+            "visiting extreme weights, and neither polish 5->8 nor "
+            "ADMM 40->60 helps — the error is closed-loop compounding "
+            "from under-converged extreme-weight steps (the pdip_ws12 "
+            "mechanism), not iteration starvation.  GAM stays on the "
+            "fused PDIP.",
         ],
     }
 

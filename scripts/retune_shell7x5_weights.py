@@ -89,14 +89,20 @@ def main():
           f"gamma min={g.min():.2f} (ref artifact gamma target ~35)",
           flush=True)
 
-    # ---- phase 2: F_vns for the gamma shortlist + anchors
+    # ---- phase 2: F_vns for the gamma shortlist + anchors (ONE batched
+    # device call over the lambda shortlist — per-candidate weights,
+    # tuning/objectives.vns_objective_batch)
     order = np.argsort(g)
     short = sorted(set(list(order[:10]) + [0, 1]))  # + anchors ref/repo
-    F = {}
+    t0 = time.time()
+    Fb = vns_objective_batch(problem, np.full(len(short), N),
+                             np.full(len(short), Numax),
+                             np.tile(delta0, (len(short), 1)),
+                             lams[short])
+    F = {i: (float(Fb[j]) if np.isfinite(Fb[j]) else 1e30)
+         for j, i in enumerate(short)}
+    print(f"phase2: {len(short)} F_vns in {time.time()-t0:.1f}s", flush=True)
     for i in short:
-        Fi = vns_objective_batch(problem, np.array([N]), np.array([Numax]),
-                                 delta0, lams[i])[0]
-        F[i] = float(Fi) if np.isfinite(Fi) else 1e30
         print(f"  lam={np.round(lams[i],4).tolist()} gamma={g[i]:.2f} "
               f"F={F[i]:.2f}", flush=True)
 
