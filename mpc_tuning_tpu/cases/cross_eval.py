@@ -104,11 +104,11 @@ def load_repo_point(npz_path: str) -> TunedPoint:
 REPO_TUNED_REFSCALE = {
     "Shell3x3": "checkpoints/Shell3x3_refscale_Tuning_21Aug2026_06_30.npz",
     "Shell3x3_caso2": "checkpoints/Shell3x3_caso2_refscale_Tuning_21Aug2026_06_32.npz",
-    # round-4 weight retune under the corrected eps-split band engine
-    # (scripts/retune_shell7x5_weights.py; the earlier artifact's gamma was
-    # scored on stalled-solver trajectories) — band decisions are
-    # finalized at f64 (PARITY.md)
-    "Shell7x5": "checkpoints/Shell7x5_refscale_retune_Tuning_21Aug2026_13_05.npz",
+    # round-5 chain, produced ON the TPU at decision-grade f64
+    # (scripts/retune_shell7x5_weights.py --tpu ->
+    # scripts/polish_shell7x5_f64.py --tpu) under the '+lp20+split12'
+    # slack-LP band engine; band decisions stay f64 (PARITY.md)
+    "Shell7x5": "checkpoints/Shell7x5_refscale_f64polish_Tuning_21Aug2026_18_15.npz",
     "VanDeVusse_NMPC": "checkpoints/VanDeVusse_NMPC_refscale_Tuning_21Aug2026_05_32.npz",
 }
 REPO_TUNED = {

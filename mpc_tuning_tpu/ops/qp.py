@@ -438,13 +438,17 @@ def solve_qp_masked_lanes(H_b, f_b, G0, T2, rmask_b, cmask_b, h_b,
 
     if use_pallas:
         from mpc_tuning_tpu.ops.pallas_kernels import factor_lanes, solve_lanes
-    elif jax.default_backend() != "cpu":
+    elif jax.default_backend() != "cpu" and n_pad <= 32:
         # TPU non-Pallas path (the decision-grade f64 band engine): XLA
         # lowers batched jnp.linalg cholesky/triangular_solve to a near-
         # scalar loop on TPU (the round-2 "46 sims/s" finding — and at
         # f64 it is ~40x off); the explicit unrolled elimination below is
         # pure (B,)-lane elementwise work that XLA vectorizes fine in
-        # both f32 and emulated f64.
+        # both f32 and emulated f64.  Size-gated: the unrolling emits
+        # ~n_pad^3/6 statements INSIDE the closed-loop scan body, and at
+        # n_pad=48 (a full-m VNS exploration bucket) the remote compile
+        # helper is OOM-killed; every decision-path bucket (m_cap <= 8,
+        # n_pad <= 32) stays on the fast unrolled path.
         factor_lanes = _factor_lanes_unrolled
         solve_lanes = _solve_lanes_unrolled
     else:  # CPU/debug: LAPACK path in the same layout (keeps the f64

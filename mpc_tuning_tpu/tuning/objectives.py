@@ -206,13 +206,35 @@ class TuningProblem:
             if m.split("@")[0].split("/")[0] in ("admm", "admm_fused",
                                                  "hybrid", "hybrid_fused"):
                 iters = self.admm_iters  # = the ADMM(-prefix) iteration count
-        Y, U = self.loop.closed_batch(
-            jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
-            self.nit, self.dtype, iters, mesh=self.mesh, caps=caps, **kw,
-        )
+        with self._f64_device(caps, f64):
+            Y, U = self.loop.closed_batch(
+                jnp.asarray(r_b, self.dtype), self.v, N_b, Nu_b, delta_b,
+                lam_b, self.nit, self.dtype, iters, mesh=self.mesh,
+                caps=caps, **kw,
+            )
         if B is not None:
             Y, U = self._gather(Y, B), self._gather(U, B)
         return Y, U
+
+    def _f64_device(self, caps, f64):
+        """Decision-grade f64 bucket routing: on the TPU backend the
+        unrolled lane factor/solve handles every decision bucket
+        (n_pad <= 32); the rare big-m EXPLORATION buckets (full-m VNS
+        neighborhoods) would fall to XLA's near-scalar batched-linalg
+        f64 path on TPU, where host LAPACK wins — route those batches to
+        the CPU device instead (same engine, same f64 arithmetic
+        family)."""
+        import contextlib
+
+        import jax
+
+        if not f64 or jax.default_backend() == "cpu":
+            return contextlib.nullcontext()
+        nu = self.loop.ctl.spec.n_mv if hasattr(self.loop, "ctl") else 0
+        n_pad = max(8, -(-(caps[1] * nu + 1) // 8) * 8)
+        if n_pad <= 32:
+            return contextlib.nullcontext()
+        return jax.default_device(jax.devices("cpu")[0])
 
     def _gather(self, a, B):
         """Candidate-sharded device output -> full host array (all-gather
@@ -245,11 +267,14 @@ class TuningProblem:
             kw["qp_lp"] = lp if band else 0
             if f64:
                 kw["use_pallas"] = False
-        Y, U = self.loop.open_batch(
-            jnp.asarray(rfin_b, self.dtype), self.v, N_b, Nu_b, delta_b, lam_b,
-            self.nit, self.dtype, self.qp_iters, mesh=self.mesh, caps=caps,
-            **kw,
-        )
+        else:
+            f64 = self.dtype == jnp.float64
+        with self._f64_device(caps, f64):
+            Y, U = self.loop.open_batch(
+                jnp.asarray(rfin_b, self.dtype), self.v, N_b, Nu_b, delta_b,
+                lam_b, self.nit, self.dtype, self.qp_iters, mesh=self.mesh,
+                caps=caps, **kw,
+            )
         if B is not None:
             Y, U = self._gather(Y, B), self._gather(U, B)
         return Y, U

@@ -47,6 +47,16 @@ VARIANTS = {
                                    prec="highest", B=16384),
     "admm40_fused1024_B4096": dict(method="admm_fused@1024", pallas=True, iters=40,
                                    prec="highest", B=4096),
+    # round-5 MFU levers (verdict item 8): wider blocks at the headline
+    # batch, and the 40-vs-80-iteration pair whose extrapolation to
+    # iters=0 measures the per-step FIXED cost (kernel launch + the
+    # whole Minv HBM read) — an upper bound on any Minv-compression gain
+    "admm40_fused1024_B8192": dict(method="admm_fused@1024", pallas=True, iters=40,
+                                   prec="highest", B=8192),
+    "admm40_fused2048_B8192": dict(method="admm_fused@2048", pallas=True, iters=40,
+                                   prec="highest", B=8192),
+    "admm80_fused512_B8192": dict(method="admm_fused@512", pallas=True, iters=80,
+                                  prec="highest", B=8192),
 }
 
 

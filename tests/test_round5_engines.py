@@ -1,0 +1,65 @@
+"""Round-5 engine additions: the 'hybrid' (ADMM-prefix + PDIP-polish)
+engine, per-candidate-weight batching in the VNS objective, and the
+unrolled lane-major factor/solve used by the TPU f64 decision path."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mpc_tuning_tpu.cases import woodberry
+from mpc_tuning_tpu.ops.qp import _factor_lanes_unrolled, _solve_lanes_unrolled
+from mpc_tuning_tpu.tuning.api import build_problem
+from mpc_tuning_tpu.tuning.objectives import vns_objective_batch
+
+
+@pytest.fixture(scope="module")
+def wb_problem():
+    case = woodberry.make_case(nit=120)
+    problem, _ = build_problem(case, dtype=jnp.float64, qp_iters=15)
+    return problem
+
+
+def test_hybrid_engine_tracks_pdip_truth(wb_problem):
+    """admm40 prefix + 5-iter PDIP polish stays within trajectory
+    tolerance of the f64 PDIP truth on the tracking workload (it is NOT
+    the GAM production engine — CMA-trajectory disqualification recorded
+    in scripts/qualify_engines.py — but must remain a correct solver)."""
+    loop = wb_problem.loop
+    y_t, u_t = loop.simulate(wb_problem.r, wb_problem.v, 120, 20, 4,
+                             [1.0, 1.0], [0.1, 0.1],
+                             qp_method="pdip_ws", qp_iters=15)
+    y_h, u_h = loop.simulate(wb_problem.r, wb_problem.v, 120, 20, 4,
+                             [1.0, 1.0], [0.1, 0.1],
+                             qp_method="hybrid", qp_iters=40)
+    assert np.abs(np.asarray(y_h) - np.asarray(y_t)).max() < 5e-3
+    assert np.abs(np.asarray(u_h) - np.asarray(u_t)).max() < 5e-2
+
+
+def test_vns_objective_per_candidate_weights(wb_problem):
+    """A (B, nu) lambda batch must reproduce the per-call shared-weight
+    evaluations exactly (the batched band weight-search path)."""
+    N_b = np.array([16, 16, 16])
+    Nu_b = np.array([4, 4, 4])
+    delta = np.array([1.0, 1.0])
+    lams = np.array([[0.1, 0.1], [0.5, 0.05], [0.02, 0.8]])
+    F_batch = vns_objective_batch(wb_problem, N_b, Nu_b,
+                                  np.tile(delta, (3, 1)), lams)
+    for j in range(3):
+        F_one = vns_objective_batch(wb_problem, N_b[j:j + 1], Nu_b[j:j + 1],
+                                    delta, lams[j])
+        np.testing.assert_allclose(F_batch[j], F_one[0], rtol=1e-12)
+
+
+def test_unrolled_lane_factor_solve_matches_lapack():
+    rng = np.random.default_rng(3)
+    B, n = 32, 8
+    A = rng.standard_normal((B, n, n))
+    M = A @ A.transpose(0, 2, 1) + n * np.eye(n)
+    Mt = jnp.asarray(M.transpose(1, 2, 0))
+    Lt = _factor_lanes_unrolled(Mt)
+    np.testing.assert_allclose(np.asarray(Lt).transpose(2, 0, 1),
+                               np.linalg.cholesky(M), atol=1e-10)
+    rhs = rng.standard_normal((n, B))
+    x = _solve_lanes_unrolled(Lt, jnp.asarray(rhs))
+    xref = np.linalg.solve(M, rhs.T[..., None])[..., 0].T
+    np.testing.assert_allclose(np.asarray(x), xref, atol=1e-10)
