@@ -280,13 +280,31 @@ def main():
     case = woodberry.make_case(nit=NIT)  # nbp=7, nbc=4 -> p_max=127
     problem, _ = build_problem(case, dtype=dtype, qp_iters=iters)
 
+    # ---- DTC-GPC scan row FIRST (the literal closed-loop GPC engine):
+    # measured before the heavy rows because in-process interference
+    # (host memory pressure + tunnel state after 5 compiled workloads)
+    # halves its measured rate — the round-4 "36% DTC regression" was
+    # exactly this ordering artifact (solo reruns reproduce the round-3
+    # rate; rep spread is recorded either way)
+    extra = []
+    try:
+        gpcB = 1024 if on_tpu else 8
+        gpc_sims, gpc_nit, gpc_stats = bench_dtc_gpc(gpcB, dtype)
+        extra.append({"metric": "dtc_gpc_closedloop_sims_per_s",
+                      "value": round(gpc_sims, 2), "unit": "sims/s",
+                      "nit": gpc_nit, "batch": gpcB,
+                      "gpc_solves_per_s_chip": round(gpc_sims * gpc_nit),
+                      **gpc_stats})
+    except Exception as exc:
+        extra.append({"metric": "dtc_gpc_closedloop_sims_per_s",
+                      "error": repr(exc)[:200]})
+
     sims_per_s, dt, d, wb_stats = bench_wb(problem, B, method, iters, dtype)
 
     # ---- GAM-stage engine row (fused whole-PDIP, 15 warm iters) at the
     # REAL GAM population shape: the whole CMA population shares the
     # incumbent horizons (gam_sse_batch broadcasts one (N, Nu)), so the
     # capacity bucket is tight — here (N, Nu) = (20, 4) -> caps (32, 4)
-    extra = []
     try:
         gam_iters = 15
         gB = min(B, 2048) if on_tpu else 8
@@ -329,19 +347,6 @@ def main():
                       **v_stats})
     except Exception as exc:
         extra.append({"metric": "vdv_nmpc_sims_per_s",
-                      "error": repr(exc)[:200]})
-
-    # ---- DTC-GPC scan row (the literal closed-loop GPC engine)
-    try:
-        gpcB = 1024 if on_tpu else 8
-        gpc_sims, gpc_nit, gpc_stats = bench_dtc_gpc(gpcB, dtype)
-        extra.append({"metric": "dtc_gpc_closedloop_sims_per_s",
-                      "value": round(gpc_sims, 2), "unit": "sims/s",
-                      "nit": gpc_nit, "batch": gpcB,
-                      "gpc_solves_per_s_chip": round(gpc_sims * gpc_nit),
-                      **gpc_stats})
-    except Exception as exc:
-        extra.append({"metric": "dtc_gpc_closedloop_sims_per_s",
                       "error": repr(exc)[:200]})
 
     # ---- end-to-end hybrid-tuner wall clock (complete small-budget

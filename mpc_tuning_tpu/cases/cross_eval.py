@@ -104,16 +104,24 @@ def load_repo_point(npz_path: str) -> TunedPoint:
 REPO_TUNED_REFSCALE = {
     "Shell3x3": "checkpoints/Shell3x3_refscale_Tuning_21Aug2026_06_30.npz",
     "Shell3x3_caso2": "checkpoints/Shell3x3_caso2_refscale_Tuning_21Aug2026_06_32.npz",
-    # round-5 chain, produced ON the TPU at decision-grade f64
-    # (scripts/retune_shell7x5_weights.py --tpu ->
-    # scripts/polish_shell7x5_f64.py --tpu) under the '+lp20+split12'
-    # slack-LP band engine; band decisions stay f64 (PARITY.md)
-    "Shell7x5": "checkpoints/Shell7x5_refscale_f64polish_Tuning_21Aug2026_18_15.npz",
+    # round-5 chain under the '+lp20+split12' slack-LP band engine:
+    # TPU f64 retune (scripts/retune_shell7x5_weights.py --tpu) + TPU
+    # f64 VNS polish (scripts/polish_shell7x5_f64.py --tpu) + the final
+    # goal-attainment selection against the reference artifact's own
+    # (F, gamma) (scripts/select_shell7x5_dominant.py — fgoalattain
+    # semantics; under the corrected engine the reference point scores
+    # honestly and sits near the Pareto frontier, so margins are small
+    # and the attainment factor is the meaningful number)
+    "Shell7x5": "checkpoints/Shell7x5_refscale_round5_Tuning_21Aug2026_18_50.npz",
     "VanDeVusse_NMPC": "checkpoints/VanDeVusse_NMPC_refscale_Tuning_21Aug2026_05_32.npz",
 }
 REPO_TUNED = {
     "Shell3x3": "checkpoints/Shell3x3_Tuning_17Aug2026_11_38.npz",
-    "Shell7x5": "checkpoints/Shell7x5_Tuning_18Aug2026_07_16.npz",
+    # round-5 own-scale chain: full f32 on-chip tuning
+    # (scripts/run_shell7x5_tpu.py, wall 253 s) + on-chip f64 polish
+    # under the '+lp20+split12' engine (replaces the round-1 N=116
+    # artifact, which PARITY.md identified as an f32 scoring artifact)
+    "Shell7x5": "checkpoints/Shell7x5_f64polish_Tuning_21Aug2026_18_36.npz",
     "VanDeVusse_NMPC": "checkpoints/VanDeVusse_NMPC_Tuning_18Aug2026_07_21.npz",
 }
 
