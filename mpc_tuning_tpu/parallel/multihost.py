@@ -203,7 +203,11 @@ def _alternation_worker(coordinator: str, nprocs: int, pid: int,
                                                         best_r["Nu"])
     assert np.array_equal(d_s, d_r), (d_s, d_r)
     assert np.array_equal(l_s, l_r), (l_s, l_r)
-    assert abs(F_s - F_r) <= 1e-12 * max(1.0, abs(F_r)), (F_s, F_r)
+    # objective agreement: per-shard XLA tiling differs, so the recorded
+    # value carries the working precision's reduction noise (measured
+    # 7e-16 rel at f64, 9e-8 rel at the f32 production shape)
+    ftol = 1e-12 if not bench else 1e-6
+    assert abs(F_s - F_r) <= ftol * max(1.0, abs(F_r)), (F_s, F_r)
     if pid == 0:
         extra = (f" wall_unsharded_s={t_ref:.1f} wall_mesh_s={t_mesh:.1f} "
                  f"mesh_overhead_x={t_mesh / max(t_ref, 1e-9):.2f}"
