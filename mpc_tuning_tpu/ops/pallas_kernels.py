@@ -793,3 +793,200 @@ def _spd_solve_vmap(axis_size, in_batched, M, rhs):
                                     rhs.reshape((-1, rhs.shape[-1])))
         return x.reshape(lead + (rhs.shape[-1],)), True
     return _spd_solve_batched_impl(M, rhs), True
+
+
+# ------------------------------------------------------------------------
+# EXPERIMENTAL round-5 whole-SIM kernel: the ENTIRE nit-step closed loop
+# (Kalman update -> f/h assembly -> warm equilibrated ADMM -> plant step)
+# for one candidate lane block runs inside ONE pallas_call, with all state
+# resident in VMEM across steps.  Motivation (PERF.md round-5 roofline):
+# 57% of the headline wall is the ~40-op scan body OUTSIDE the fused QP
+# kernel — per-op overhead x 400 sequential steps.  Tracking cases only
+# (with_y=False, the bench headline shape); not yet the production engine
+# (qualification pending).  Replaces the full step recursion of
+# /root/reference/MPC-Tuning/MPC_Tuning/closedloop_toolbox.m:50-81.
+
+
+def _closed_sim_admm_kernel(nit: int, iters: int, sigma: float,
+                            over_relax: float, ny: int, nu: int, n: int,
+                            mc: int, m_max: int,
+                            # shared tables
+                            Cpl_ref, Apl_ref, Bplu_ref, C_ref, Mk_ref,
+                            A_ref, Bu_ref, SxF_ref, SstF_ref, ThT_ref,
+                            G0_ref, G0T_ref, Vt_ref, oh_ref,
+                            # per-lane constants
+                            r_ref, q_ref, hbase_ref, su_ref, arow_ref,
+                            acol_ref, Dinv_ref, e_ref, par_ref, sfy_ref,
+                            sfu_ref,
+                            # per-lane Minv
+                            Minv_ref,
+                            # outputs
+                            Y_ref, U_ref):
+    """One Bt-lane block, all `nit` steps in VMEM.
+
+    Shapes (lane-major, Bt lanes): r (nit, ny, Bt) conditioned setpoints
+    PRE-SCALED by 1/sf_y; q (pny, Bt) OV weight diag (row-masked);
+    hbase/su/arow/e (mcp, Bt); acol/Dinv (n_pad, Bt); par (8, Bt) rows
+    0/1 = rho / 1/rho; Minv (n_pad, n_pad, Bt).  Vt (nit, nv) packs the
+    SHARED v-dependent per-step columns [Dv v_s | Bv v_s | Bpl_v v_raw |
+    Sv v_s] — read per step via a one-hot MXU matvec (oh (nit, nit)
+    identity; dynamic lane indexing is not Mosaic-friendly, a (nit,1)
+    one-hot contraction is).  Outputs Y (nit, ny, Bt) RAW plant outputs,
+    U (nit, nu, Bt) applied inputs, exactly closed_loop_core's streams.
+    """
+    dtype = r_ref.dtype
+    HIGH = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))
+
+    Cpl = Cpl_ref[...]
+    Apl = Apl_ref[...]
+    Bplu = Bplu_ref[...]
+    Cm = C_ref[...]
+    Mk = Mk_ref[...]
+    Am = A_ref[...]
+    Bu = Bu_ref[...]
+    SxF = SxF_ref[...]
+    SstF = SstF_ref[...]
+    ThT = ThT_ref[...]
+    G0 = G0_ref[...]
+    G0T = G0T_ref[...]
+    Vt = Vt_ref[...]          # (nv, nit)
+    q = q_ref[...]
+    hbase = hbase_ref[...]
+    su = su_ref[...]
+    arow = arow_ref[...]
+    acol = acol_ref[...]
+    Dinv = Dinv_ref[...]
+    ev = e_ref[...]
+    rho = par_ref[0:1, :]
+    rho_inv = par_ref[1:2, :]
+    sfy = sfy_ref[...]        # (ny, 1) broadcast columns
+    sfu = sfu_ref[...]        # (nu, 1)
+    Minv = Minv_ref[...]
+
+    nxp = Apl.shape[0]
+    nxa = Am.shape[0]
+    pny = SxF.shape[0]
+    p = pny // ny
+
+    def mm(Mat, X):
+        return jax.lax.dot_general(Mat, X, dn, precision=HIGH,
+                                   preferred_element_type=dtype)
+
+    def Gs(x):
+        return arow * mm(G0, acol * x)
+
+    def GsT(t):
+        return acol * mm(G0T, arow * t)
+
+    Bt = q.shape[1]
+
+    def step(k, carry):
+        x_pl, x_hat_pred, u_prev, xa, zc, yd = carry
+        # shared per-step v columns via one-hot contraction: (nv, 1)
+        ohk = oh_ref[pl.ds(k, 1), :]          # (1, nit)
+        vcols = jax.lax.dot_general(Vt, ohk, (((1,), (1,)), ((), ())),
+                                    precision=HIGH,
+                                    preferred_element_type=dtype)  # (nv,1)
+        dv_k = vcols[0:ny]
+        bv_k = vcols[ny:ny + nxa]
+        bpl_k = vcols[ny + nxa:ny + nxa + nxp]
+        sv_k = vcols[ny + nxa + nxp:ny + nxa + nxp + pny]
+
+        y = mm(Cpl, x_pl)                     # (ny, Bt) RAW output
+        Y_ref[pl.ds(k, 1)] = y[None]
+        y_s = y / sfy
+        innov = y_s - mm(Cm, x_hat_pred) - dv_k
+        x_hat = x_hat_pred + mm(Mk, innov)
+
+        free = mm(SxF, x_hat) + mm(SstF, u_prev) + sv_k   # (pny, Bt)
+        r_k = r_ref[pl.ds(k, 1)][0]           # (ny, Bt), pre-scaled
+        r_t = jnp.broadcast_to(r_k[None], (p, ny, Bt)).reshape(pny, Bt)
+        err = q * (r_t - free)
+        f_du = -2.0 * mm(ThT, err)            # (n_pad, Bt); masked cols 0
+        fs = f_du * Dinv                      # f_eps = 0; Dinv pads 0
+
+        u_t = jnp.broadcast_to(u_prev[None], (4 * m_max, nu, Bt)).reshape(
+            4 * m_max * nu, Bt)
+        mcp = hbase.shape[0]
+        u_t = jnp.concatenate(
+            [u_t, jnp.zeros((mcp - 4 * m_max * nu, Bt), dtype)], axis=0)
+        hs = (hbase + su * u_t) * ev
+
+        def admm_body(_, st):
+            xx, zz, yy = st
+            rhs = sigma * xx - fs + GsT(rho * zz - yy)
+            xx = jnp.sum(Minv * rhs[None, :, :], axis=1)
+            Gx = Gs(xx)
+            Gx_r = over_relax * Gx + (1.0 - over_relax) * zz
+            z_new = jnp.minimum(Gx_r + yy * rho_inv, hs)
+            yy = yy + rho * (Gx_r - z_new)
+            return (xx, z_new, yy)
+
+        xa, zc, yd = jax.lax.fori_loop(0, iters, admm_body, (xa, zc, yd))
+
+        du = (xa * Dinv)[0:nu]
+        u_s = u_prev + du
+        u_out = u_s * sfu
+        U_ref[pl.ds(k, 1)] = u_out[None]
+        x_hat_pred = mm(Am, x_hat) + mm(Bu, u_s) + bv_k
+        x_pl = mm(Apl, x_pl) + mm(Bplu, u_out) + bpl_k
+        return (x_pl, x_hat_pred, u_s, xa, zc, yd)
+
+    n_pad = acol.shape[0]
+    mcp = arow.shape[0]
+    init = (jnp.zeros((nxp, Bt), dtype), jnp.zeros((nxa, Bt), dtype),
+            jnp.zeros((nu, Bt), dtype), jnp.zeros((n_pad, Bt), dtype),
+            jnp.zeros((mcp, Bt), dtype), jnp.zeros((mcp, Bt), dtype))
+    jax.lax.fori_loop(0, nit, step, init)
+
+
+def closed_sim_admm_lanes(tables, lane_consts, Minv_t, r_l, *, nit: int,
+                          iters: int, sigma: float, over_relax: float,
+                          dims, block_lanes: int = 512):
+    """Whole-sim fused ADMM closed loop (EXPERIMENTAL, tracking cases).
+
+    tables: dict of shared 2-D arrays (see kernel docstring);
+    lane_consts: dict of (rows, B) per-lane constants; Minv_t
+    (n_pad, n_pad, B); r_l (nit, ny, B) pre-scaled setpoints.
+    Returns (Y (nit, ny, B) raw outputs, U (nit, nu, B))."""
+    n_pad, _, B = Minv_t.shape
+    dtype = r_l.dtype
+    ny, nu, n, mc, m_max = (dims["ny"], dims["nu"], dims["n"], dims["mc"],
+                            dims["m_max"])
+    Bt = min(block_lanes, B)
+    assert B % Bt == 0, (B, Bt)
+    mcp = lane_consts["hbase"].shape[0]
+
+    shared = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                    memory_space=pltpu.VMEM)
+    lane2 = lambda rows: pl.BlockSpec((rows, Bt), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)
+
+    oh = jnp.eye(nit, dtype=dtype)
+    t_names = ("Cpl", "Apl", "Bplu", "C", "Mk", "A", "Bu", "SxF", "SstF",
+               "ThT", "G0", "G0T", "Vt")
+    c_names = ("q", "hbase", "su", "arow", "acol", "Dinv", "e", "par",
+               "sfy", "sfu")
+    in_specs = ([shared(tables[k]) for k in t_names] + [shared(oh)]
+                + [pl.BlockSpec((nit, ny, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)]
+                + [lane2(lane_consts[k].shape[0]) for k in c_names]
+                + [pl.BlockSpec((n_pad, n_pad, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)])
+    Y, U = pl.pallas_call(
+        functools.partial(_closed_sim_admm_kernel, nit, iters, sigma,
+                          over_relax, ny, nu, n, mc, m_max),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((nit, ny, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nit, nu, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nit, ny, B), dtype),
+                   jax.ShapeDtypeStruct((nit, nu, B), dtype)),
+        compiler_params=_fused_params(),
+        interpret=_interpret(),
+    )(*([tables[k] for k in t_names] + [oh, r_l]
+        + [lane_consts[k] for k in c_names] + [Minv_t]))
+    return Y, U

@@ -670,3 +670,130 @@ open_loop_batch = partial(jax.jit, static_argnums=tuple(range(8, 18)))(
     jax.vmap(open_loop_core,
              in_axes=(None, 0, None, None, 0, 0, 0, 0) + (None,) * 10)
 )
+
+
+def closed_loop_batch_sim_fused(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
+                                p_max, m_max, ny, nu, with_y, rho,
+                                qp_iters, block_lanes: int = 512):
+    """EXPERIMENTAL whole-sim engine ('admm_sim_fused'): the entire
+    nit-step closed loop runs inside ONE Pallas kernel per lane block
+    (ops/pallas_kernels.closed_sim_admm_lanes) — Kalman update, f/h
+    assembly, warm equilibrated ADMM, and plant step all stay in VMEM
+    across steps, eliminating the per-step op overhead that the round-5
+    roofline measured at 57% of the headline wall (PERF.md).  Tracking
+    cases only (with_y=False); same algorithm/constants as the
+    'admm_fused' scan path.  Returns (Y (B, nit, ny), U (B, nit, nu))."""
+    assert not with_y, "whole-sim kernel covers tracking cases only"
+    from mpc_tuning_tpu.ops.pallas_kernels import closed_sim_admm_lanes
+
+    dtype = r_b.dtype
+    B = r_b.shape[0]
+    nit = r_b.shape[1]
+    n = m_max * nu + 1
+    mc = 4 * m_max * nu + 1
+    n_pad = max(8, -(-n // 8) * 8)
+    mcp = max(8, -(-mc // 8) * 8)
+
+    cand = jax.vmap(
+        assemble_candidate,
+        in_axes=(None, 0, 0, 0, 0) + (None,) * 6,
+    )(c, N_b, Nu_b, delta_b, lam_b, p_max, m_max, ny, nu, rho, with_y)
+
+    # per-lane constants, lane-major (rows, B)
+    def lanes(x, pad_to=None, fill=0.0):
+        x = x.T
+        if pad_to is not None and x.shape[0] < pad_to:
+            x = jnp.concatenate(
+                [x, jnp.full((pad_to - x.shape[0], B), fill, dtype)], axis=0)
+        return x.astype(dtype)
+
+    pre = cand["admm"]
+    Dinv_m = pre["Dinv"] * cand["cmask_z"]          # masked-var fs/du scale
+    Minv_t = jnp.zeros((n_pad, n_pad, B), dtype)
+    Minv_t = Minv_t.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+    Minv_t = Minv_t.at[:n, :n, :].set(pre["Minv"].transpose(1, 2, 0))
+
+    # OV weight diag (row-masked), (pny, B)
+    i_idx = jnp.arange(1, p_max + 1)
+    row_mask = (i_idx[None, :] <= N_b[:, None]).astype(dtype)  # (B, p)
+    q_b = (jnp.abs(delta_b[:, None, :]) ** 2 * row_mask[:, :, None]).reshape(
+        B, p_max * ny)
+
+    ones_m = np.ones(m_max)
+    kr = lambda vec: jnp.kron(jnp.asarray(ones_m, dtype), jnp.asarray(vec, dtype))
+    h1 = cand["en_du_hi"] * kr(c["dumax"]) + (1.0 - cand["en_du_hi"])
+    h2 = -cand["en_du_lo"] * kr(c["dumin"]) + (1.0 - cand["en_du_lo"])
+    h3 = cand["en_u_hi"] * kr(c["umax"]) + (1.0 - cand["en_u_hi"])
+    h4 = -cand["en_u_lo"] * kr(c["umin"]) + (1.0 - cand["en_u_lo"])
+    zero1 = jnp.zeros((B, 1), dtype)
+    hbase = jnp.concatenate([h1, h2, h3, h4, zero1], axis=1)  # (B, mc)
+    su = jnp.concatenate([jnp.zeros_like(h1), jnp.zeros_like(h2),
+                          -cand["en_u_hi"], cand["en_u_lo"], zero1], axis=1)
+
+    lane_consts = {
+        "q": lanes(q_b),
+        "hbase": lanes(hbase, mcp, 1.0),
+        "su": lanes(su, mcp),
+        "arow": lanes(pre["e"] * cand["rmask"], mcp),
+        "acol": lanes(pre["Dinv"] * cand["cmask_z"], n_pad),
+        "Dinv": lanes(Dinv_m, n_pad),
+        "e": lanes(pre["e"], mcp, 1.0),
+        "par": jnp.concatenate(
+            [jnp.broadcast_to(pre["rho"].astype(dtype)[None, :], (1, B)),
+             jnp.broadcast_to((1.0 / pre["rho"]).astype(dtype)[None, :],
+                              (1, B)),
+             jnp.ones((6, B), dtype)], axis=0),
+        "sfy": jnp.broadcast_to(jnp.asarray(c["sf_y"], dtype)[:, None],
+                                (ny, B)),
+        "sfu": jnp.broadcast_to(jnp.asarray(c["sf_u"], dtype)[:, None],
+                                (nu, B)),
+    }
+
+    # shared tables
+    pny = p_max * ny
+    SxF = jnp.asarray(c["Sx"], dtype).reshape(pny, -1)
+    SstF = jnp.asarray(c["Sstep"], dtype)[1:].reshape(pny, nu)
+    nd = c["Bv"].shape[1] if c["Bv"].ndim == 2 else 0
+    v_t = jnp.asarray(v, dtype)
+    sf_v = jnp.asarray(c["sf_v"], dtype)
+    v_s = v_t / sf_v if v_t.shape[1] else v_t
+    SvF = jnp.asarray(c["Sv"], dtype).reshape(pny, -1)
+    nxa = c["A"].shape[0]
+    nxp = c["A_pl"].shape[0]
+    # packed v-dependent per-step columns, (nv, nit)
+    Dvv = (jnp.asarray(c["Dv"], dtype) @ v_s.T if v_t.shape[1]
+           else jnp.zeros((ny, nit), dtype))
+    Bvv = (jnp.asarray(c["Bv"], dtype) @ v_s.T if v_t.shape[1]
+           else jnp.zeros((nxa, nit), dtype))
+    Bplv = (jnp.asarray(c["B_pl"], dtype)[:, nu:] @ v_t.T if v_t.shape[1]
+            else jnp.zeros((nxp, nit), dtype))
+    Svv = (SvF @ v_s.T if v_t.shape[1] else jnp.zeros((pny, nit), dtype))
+    Vt = jnp.concatenate([Dvv, Bvv, Bplv, Svv], axis=0)
+
+    ThT = jnp.zeros((n_pad, pny), dtype)
+    ThT = ThT.at[:m_max * nu, :].set(jnp.asarray(c["Theta"], dtype).T)
+    G0p = jnp.zeros((mcp, n_pad), dtype).at[:mc, :n].set(
+        jnp.asarray(c["G0"], dtype)[:mc])
+
+    tables = {
+        "Cpl": jnp.asarray(c["C_pl"], dtype),
+        "Apl": jnp.asarray(c["A_pl"], dtype),
+        "Bplu": jnp.asarray(c["B_pl"], dtype)[:, :nu],
+        "C": jnp.asarray(c["C"], dtype),
+        "Mk": jnp.asarray(c["M"], dtype),
+        "A": jnp.asarray(c["A"], dtype),
+        "Bu": jnp.asarray(c["Bu"], dtype),
+        "SxF": SxF, "SstF": SstF, "ThT": ThT,
+        "G0": G0p, "G0T": jnp.transpose(G0p), "Vt": Vt,
+    }
+
+    r_l = (jnp.asarray(r_b, dtype)
+           / jnp.asarray(c["sf_y"], dtype)[None, None, :]).transpose(1, 2, 0)
+
+    with jax.default_matmul_precision("highest"):
+        Y, U = closed_sim_admm_lanes(
+            tables, lane_consts, Minv_t, r_l, nit=nit, iters=qp_iters,
+            sigma=1e-6, over_relax=1.6,
+            dims=dict(ny=ny, nu=nu, n=n, mc=mc, m_max=m_max),
+            block_lanes=block_lanes)
+    return Y.transpose(2, 0, 1), U.transpose(2, 0, 1)

@@ -63,3 +63,42 @@ def test_unrolled_lane_factor_solve_matches_lapack():
     x = _solve_lanes_unrolled(Lt, jnp.asarray(rhs))
     xref = np.linalg.solve(M, rhs.T[..., None])[..., 0].T
     np.testing.assert_allclose(np.asarray(x), xref, atol=1e-10)
+
+
+def test_whole_sim_fused_kernel_matches_admm_scan():
+    """EXPERIMENTAL whole-sim kernel (the entire closed loop in ONE
+    Pallas call — interpret mode here): must reproduce the dense
+    warm-ADMM scan path exactly at f64 (same algorithm, same constants;
+    measured 1e-14) — the basis for its on-chip 25.4k sims/s headline
+    candidate (PERF.md round-5; adoption pends decision-level
+    qualification)."""
+    from mpc_tuning_tpu.sim.mpc_loop import (closed_loop_batch,
+                                             closed_loop_batch_sim_fused,
+                                             horizon_caps)
+    import jax
+
+    NIT, B = 60, 4
+    case = woodberry.make_case(nit=NIT)
+    problem, _ = build_problem(case, dtype=jnp.float64, qp_iters=40)
+    loop = problem.loop
+    rng = np.random.default_rng(0)
+    N_np = rng.integers(16, 64, size=B)
+    Nu_np = rng.integers(2, 7, size=B)
+    loop = loop.capped(*horizon_caps(loop.dims["p_max"],
+                                     loop.dims["m_max"], N_np, Nu_np))
+    c = loop.arrays(jnp.float64)
+    d = loop.dims
+    r_b = jnp.asarray(np.broadcast_to(problem.r[:NIT], (B, NIT, 2)))
+    v = jnp.asarray(problem.v[:NIT])
+    args = (jnp.asarray(N_np), jnp.asarray(Nu_np),
+            jnp.asarray(rng.uniform(0.2, 2.0, size=(B, 2))),
+            jnp.asarray(rng.uniform(0.01, 0.5, size=(B, 2))))
+    statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
+               d["rho"], 40)
+    with jax.default_matmul_precision("highest"):
+        Yr, Ur = closed_loop_batch(c, r_b, v, *args, *statics, "admm",
+                                   False)
+    Ys, Us = closed_loop_batch_sim_fused(c, r_b, v, *args, *statics[:-1],
+                                         40, block_lanes=128)
+    np.testing.assert_allclose(np.asarray(Ys), np.asarray(Yr), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Us), np.asarray(Ur), atol=1e-12)
