@@ -185,6 +185,19 @@ class MPCLoop:
         loop = self.capped(*caps)
         c = loop.arrays(dtype)
         d = loop.dims
+        base, lanes, _, _, _ = parse_qp_method(qp_method)
+        if base == "admm_sim_fused":
+            # whole-sim kernel (EXPERIMENTAL): the entire closed loop in
+            # one Pallas call per lane block — see
+            # closed_loop_batch_sim_fused
+            assert mesh is None, "sim-fused engine: mesh not yet supported"
+            args = (jnp.asarray(r_b, dtype)[:, :nit],
+                    jnp.asarray(v[:nit], dtype),
+                    jnp.asarray(N_b), jnp.asarray(Nu_b),
+                    jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype))
+            return _closed_sim_fused_jit(
+                c, *args, d["p_max"], d["m_max"], d["ny"], d["nu"],
+                d["with_y"], d["rho"], qp_iters, lanes)
         statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
                    d["rho"], qp_iters, qp_method, _auto_pallas(use_pallas))
         args = (jnp.asarray(r_b, dtype)[:, :nit], jnp.asarray(v[:nit], dtype),
@@ -797,3 +810,7 @@ def closed_loop_batch_sim_fused(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
             dims=dict(ny=ny, nu=nu, n=n, mc=mc, m_max=m_max),
             block_lanes=block_lanes)
     return Y.transpose(2, 0, 1), U.transpose(2, 0, 1)
+
+
+_closed_sim_fused_jit = partial(
+    jax.jit, static_argnums=tuple(range(7, 15)))(closed_loop_batch_sim_fused)

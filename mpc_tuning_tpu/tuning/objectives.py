@@ -204,6 +204,7 @@ class TuningProblem:
                 # the jnp lanes path (Pallas kernels are f32-only)
                 kw["use_pallas"] = False
             if m.split("@")[0].split("/")[0] in ("admm", "admm_fused",
+                                                 "admm_sim_fused",
                                                  "hybrid", "hybrid_fused"):
                 iters = self.admm_iters  # = the ADMM(-prefix) iteration count
         with self._f64_device(caps, f64):
