@@ -121,11 +121,21 @@ def bench_wb(problem, B, method, iters, dtype, N_fix=None, Nu_fix=None):
 
     on_tpu = jax.default_backend() != "cpu"
 
-    def run():
-        with jax.default_matmul_precision("highest"):
-            Y, _ = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
-                                     *statics, method, on_tpu)
-        return _sync(Y)
+    if method.split("@")[0] == "admm_sim_fused":
+        # round-5 production VNS engine: dispatch through MPCLoop so the
+        # whole-sim kernel path (and its envelope fallback) is exactly
+        # the production call
+        def run():
+            Y, _ = loop.closed_batch(r_b, v, N_b, Nu_b, delta_b, lam_b,
+                                     NIT, dtype, iters, qp_method=method,
+                                     caps=(d["p_max"], d["m_max"]))
+            return _sync(Y)
+    else:
+        def run():
+            with jax.default_matmul_precision("highest"):
+                Y, _ = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b,
+                                         lam_b, *statics, method, on_tpu)
+            return _sync(Y)
 
     dt, dt_best, dts = _time_reps(run)
     stats = {"best_sims_per_s": round(B / dt_best, 2),
@@ -274,7 +284,8 @@ def main():
     method = os.environ.get(
         "BENCH_METHOD",
         resolve_qp_method("auto", band=False, stage="vns", dims=_wb_dims))
-    is_admm = method.split("@")[0].split("/")[0] in ("admm", "admm_fused")
+    is_admm = method.split("@")[0].split("/")[0] in (
+        "admm", "admm_fused", "admm_sim_fused")
     iters = int(os.environ.get("BENCH_QP_ITERS", "40" if is_admm else "15"))
 
     case = woodberry.make_case(nit=NIT)  # nbp=7, nbc=4 -> p_max=127

@@ -168,6 +168,36 @@ class MPCLoop:
         c["C_pl_model"] = jnp.asarray(mss.C, dtype)
         return c
 
+    @staticmethod
+    def _sim_fused_viable(loop, nit, block_lanes) -> bool:
+        """VMEM feasibility of the whole-sim kernel's per-block working
+        set (trajectory streams + one-hot table are nit-dependent; the
+        QP tables mirror the step-fused ADMM kernel's)."""
+        s = loop.ctl.spec
+        ny, nu, nd = s.model.ny, s.n_mv, s.n_md
+        n = s.m_max * nu + 1
+        n_pad = max(8, -(-n // 8) * 8)
+        mc = 4 * s.m_max * nu + 1
+        mcp = max(8, -(-mc // 8) * 8)
+        pny = s.p_max * ny
+        nxa = loop.ctl.A.shape[0]
+        nxp = loop.plant_ss.A.shape[0]
+        nv = ny + nxa + nxp + pny
+        Bt = block_lanes
+        fl = 4  # bytes, f32
+        words = (
+            nit * (2 * ny + nu) * Bt          # r + Y + U blocks
+            + nit * nit + nv * nit            # one-hot + Vt tables
+            + n_pad * n_pad * Bt              # Minv block
+            + (2 * n_pad + 4 * mcp + 2 * ny + 2 * nu) * Bt  # lane consts
+            + 2 * mcp * n_pad + pny * (nxa + nu + n_pad)     # G0/SxF/ThT
+            + 2 * nxa * nxa + 2 * nxp * nxp   # model/plant tables (bound)
+            + (3 * n_pad + 3 * mcp + pny + 8) * Bt           # working set
+        )
+        from mpc_tuning_tpu.ops.qp import _FUSED_VMEM_BUDGET
+
+        return words * fl <= _FUSED_VMEM_BUDGET
+
     # ------------------------------------------------- batched tuning API
     def closed_batch(self, r_b, v, N_b, Nu_b, delta_b, lam_b, nit, dtype,
                      qp_iters, qp_method="pdip", use_pallas=None, mesh=None,
@@ -187,17 +217,27 @@ class MPCLoop:
         d = loop.dims
         base, lanes, _, _, _ = parse_qp_method(qp_method)
         if base == "admm_sim_fused":
-            # whole-sim kernel (EXPERIMENTAL): the entire closed loop in
-            # one Pallas call per lane block — see
-            # closed_loop_batch_sim_fused
-            assert mesh is None, "sim-fused engine: mesh not yet supported"
-            args = (jnp.asarray(r_b, dtype)[:, :nit],
-                    jnp.asarray(v[:nit], dtype),
-                    jnp.asarray(N_b), jnp.asarray(Nu_b),
-                    jnp.asarray(delta_b, dtype), jnp.asarray(lam_b, dtype))
-            return _closed_sim_fused_jit(
-                c, *args, d["p_max"], d["m_max"], d["ny"], d["nu"],
-                d["with_y"], d["rho"], qp_iters, lanes)
+            # whole-sim kernel: the entire closed loop in one Pallas call
+            # per lane block (closed_loop_batch_sim_fused).  Outside its
+            # envelope — mesh sharding (shard_map wrapping a single
+            # full-trajectory pallas_call is untested), y-constrained
+            # cases (band cases stay on PDIP anyway), or a VMEM-infeasible
+            # (nit, shape) block — fall back to the step-fused ADMM scan
+            # engine, which is algorithm-identical (same warm ADMM, same
+            # constants; the whole-sim kernel only removes the per-step
+            # XLA op overhead).
+            if (mesh is not None or d["with_y"]
+                    or not self._sim_fused_viable(loop, nit, lanes)):
+                qp_method = f"admm_fused@{lanes}"
+            else:
+                args = (jnp.asarray(r_b, dtype)[:, :nit],
+                        jnp.asarray(v[:nit], dtype),
+                        jnp.asarray(N_b), jnp.asarray(Nu_b),
+                        jnp.asarray(delta_b, dtype),
+                        jnp.asarray(lam_b, dtype))
+                return _closed_sim_fused_jit(
+                    c, *args, d["p_max"], d["m_max"], d["ny"], d["nu"],
+                    d["with_y"], d["rho"], qp_iters, lanes)
         statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
                    d["rho"], qp_iters, qp_method, _auto_pallas(use_pallas))
         args = (jnp.asarray(r_b, dtype)[:, :nit], jnp.asarray(v[:nit], dtype),
@@ -699,6 +739,27 @@ def closed_loop_batch_sim_fused(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
     assert not with_y, "whole-sim kernel covers tracking cases only"
     from mpc_tuning_tpu.ops.pallas_kernels import closed_sim_admm_lanes
 
+    # The WHOLE body (not just the kernel call) must trace under 'highest'
+    # matmul precision: assemble_candidate builds H = Theta'QTheta and
+    # admm_precompute builds GtG and INVERTS M from them — at the TPU's
+    # default bf16-pass precision those tables carry ~2.5e-3 relative
+    # error (scripts/probe_kernel_precision_tpu.py), which a single
+    # 40-iteration warm solve turns into ~1e-2 du error on large-N
+    # candidates (scripts/diag_sim_fused_step_tpu.py: dU 9.7e-3 at
+    # N=48 — the entire 0.07 trajectory deviation and all 6 WB decision
+    # flips of checkpoints/sim_fused_qualification.json came from this
+    # one missing context, not from in-kernel arithmetic: every in-kernel
+    # assembly op probes bitwise-identical to XLA-f32,
+    # scripts/probe_sim_fused_ops_tpu.py).
+    with jax.default_matmul_precision("highest"):
+        return _closed_sim_fused_body(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
+                                      p_max, m_max, ny, nu, rho, qp_iters,
+                                      block_lanes, closed_sim_admm_lanes)
+
+
+def _closed_sim_fused_body(c, r_b, v, N_b, Nu_b, delta_b, lam_b, p_max,
+                           m_max, ny, nu, rho, qp_iters, block_lanes,
+                           closed_sim_admm_lanes):
     dtype = r_b.dtype
     B = r_b.shape[0]
     nit = r_b.shape[1]
@@ -710,7 +771,7 @@ def closed_loop_batch_sim_fused(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
     cand = jax.vmap(
         assemble_candidate,
         in_axes=(None, 0, 0, 0, 0) + (None,) * 6,
-    )(c, N_b, Nu_b, delta_b, lam_b, p_max, m_max, ny, nu, rho, with_y)
+    )(c, N_b, Nu_b, delta_b, lam_b, p_max, m_max, ny, nu, rho, False)
 
     # per-lane constants, lane-major (rows, B)
     def lanes(x, pad_to=None, fill=0.0):

@@ -92,7 +92,20 @@ def resolve_qp_method(method: str, band: bool = False,
 
             lanes = admm_fused_max_lanes(*shape)
             if lanes:
-                return f"admm_fused@{lanes}"
+                # whole-SIM fused ADMM (the entire nit-step closed loop in
+                # ONE Pallas kernel per lane block): +33% over the
+                # step-fused scan engine at the headline shape (PERF.md
+                # round-5).  Decision-qualified after the round-5 fix of
+                # its candidate-table precision (the tables traced at
+                # default bf16 matmul precision; sim/mpc_loop
+                # closed_loop_batch_sim_fused docstring) — zero pairwise
+                # flips vs the CPU f64 truth on the WB/Shell3x3 VNS
+                # grids (checkpoints/sim_fused_qualification.json).
+                # MPCLoop.closed_batch falls back to admm_fused@lanes
+                # whenever the whole-sim kernel's envelope doesn't apply
+                # (mesh sharding, y-constrained cases, VMEM-infeasible
+                # (nit, shape) blocks).
+                return f"admm_sim_fused@{min(lanes, 512)}"
             return "pdip_ws_lanes"
         # no shape information: the fused-ADMM VMEM-viability guard cannot
         # run, and an mc-heavy shape (any with_y case) would compile-OOM the

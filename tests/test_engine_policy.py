@@ -16,6 +16,8 @@ def test_parse_qp_method_specs():
     assert parse_qp_method("pdip_ws_fused/subst") == ("pdip_ws_fused", 128, "subst", 0, 0)
     assert parse_qp_method("pdip_ws_fused@256/subst") == ("pdip_ws_fused", 256, "subst", 0, 0)
     assert parse_qp_method("admm_fused@512") == ("admm_fused", 512, "trinv", 0, 0)
+    assert parse_qp_method("admm_sim_fused@512") == ("admm_sim_fused", 512,
+                                                     "trinv", 0, 0)
     assert parse_qp_method("admm") == ("admm", 128, "trinv", 0, 0)
     # +split = two-stage eps-split: -1 reuses qp_iters for stage 2,
     # +splitN runs N stage-2 iterations
@@ -60,9 +62,17 @@ def test_auto_resolution_on_tpu_backend(monkeypatch):
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert resolve_qp_method("auto", stage="vns", dims=WB) == "admm_fused@512"
-    assert resolve_qp_method("auto", stage="vns", dims=S3) == "admm_fused@512"
-    assert resolve_qp_method("auto", stage="vns", dims=S7) == "admm_fused@512"
+    # round 5: VNS tracking resolves to the whole-SIM fused ADMM kernel
+    # (decision-qualified at zero flips after the candidate-table
+    # precision fix, checkpoints/sim_fused_qualification.json);
+    # MPCLoop.closed_batch falls back to admm_fused@lanes outside its
+    # envelope (mesh / with_y / VMEM-infeasible (nit, shape) blocks)
+    assert resolve_qp_method("auto", stage="vns",
+                             dims=WB) == "admm_sim_fused@512"
+    assert resolve_qp_method("auto", stage="vns",
+                             dims=S3) == "admm_sim_fused@512"
+    assert resolve_qp_method("auto", stage="vns",
+                             dims=S7) == "admm_sim_fused@512"
     # band control never runs ADMM (documented stall on the ECR band QP)
     # and always two-stage eps-splits (joint IPMs stall on the band scale
     # mix — sim/mpc_loop.parse_qp_method)

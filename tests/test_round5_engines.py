@@ -102,3 +102,30 @@ def test_whole_sim_fused_kernel_matches_admm_scan():
                                          40, block_lanes=128)
     np.testing.assert_allclose(np.asarray(Ys), np.asarray(Yr), atol=1e-12)
     np.testing.assert_allclose(np.asarray(Us), np.asarray(Ur), atol=1e-12)
+
+
+def test_sim_fused_dispatch_and_mesh_fallback():
+    """'admm_sim_fused' is the round-5 production VNS engine (adopted at
+    zero decision flips after the candidate-table precision fix,
+    checkpoints/sim_fused_qualification.json).  MPCLoop.closed_batch
+    must (a) dispatch it through the whole-sim kernel, and (b) fall back
+    to the algorithm-identical step-fused scan engine when the call is
+    outside the kernel's envelope (candidate-mesh sharding here) — same
+    trajectories either way."""
+    import jax
+    from jax.sharding import Mesh
+
+    NIT, B = 40, 4
+    case = woodberry.make_case(nit=NIT, nbp=4, nbc=2)
+    problem, _ = build_problem(case, dtype=jnp.float32, qp_iters=10)
+    loop = problem.loop
+    r_b = np.broadcast_to(problem.r[:NIT], (B, NIT, 2))
+    args = (r_b, problem.v, np.full(B, 6), np.full(B, 2),
+            np.ones((B, 2)), 0.1 * np.ones((B, 2)), NIT, jnp.float32, 10)
+    Yk, Uk = loop.closed_batch(*args, qp_method="admm_sim_fused@512")
+    Ys, Us = loop.closed_batch(*args, qp_method="admm_fused@512")
+    np.testing.assert_allclose(np.asarray(Yk), np.asarray(Ys), atol=2e-5)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("cand",))
+    Ym, _ = loop.closed_batch(*args, qp_method="admm_sim_fused@512",
+                              mesh=mesh)
+    np.testing.assert_allclose(np.asarray(Ym), np.asarray(Ys), atol=2e-5)
