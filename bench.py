@@ -121,7 +121,7 @@ def bench_wb(problem, B, method, iters, dtype, N_fix=None, Nu_fix=None):
 
     on_tpu = jax.default_backend() != "cpu"
 
-    if method.split("@")[0] == "admm_sim_fused":
+    if method.split("@")[0] in ("admm_sim_fused", "pdip_sim_fused"):
         # round-5 production VNS engine: dispatch through MPCLoop so the
         # whole-sim kernel path (and its envelope fallback) is exactly
         # the production call
@@ -319,12 +319,16 @@ def main():
     try:
         gam_iters = 15
         gB = min(B, 2048) if on_tpu else 8
-        gam_method = "pdip_ws_fused" if on_tpu else "pdip_ws"
+        gam_method = (resolve_qp_method("auto", band=False, stage="gam",
+                                        dims=dict(_wb_dims, p_max=32,
+                                                  m_max=4))
+                      if on_tpu else "pdip_ws")
         g_sims, _, gd, g_stats = bench_wb(problem, gB, gam_method,
                                           gam_iters, dtype, N_fix=20,
                                           Nu_fix=4)
         extra.append({"metric": "wb_gam_pdip_fused_sims_per_s",
                       "value": round(g_sims, 2), "unit": "sims/s",
+                      "qp_method": gam_method,
                       "qp_iters": gam_iters, "batch": gB,
                       "caps": [gd["p_max"], gd["m_max"]],
                       "population": "fixed (N,Nu)=(20,4), varying weights",
@@ -434,9 +438,10 @@ def main():
             "p_max": d["p_max"], "m_max": d["m_max"],
             "qp_iters": iters, "qp_method": method, "dtype": "float32",
             "matmul_precision": "highest",
-            "engine_policy": "production auto: VNS tracking = fused "
-                             "whole-ADMM (qualification: checkpoints/"
-                             "qp_engine_qualification.json); GAM = fused "
+            "engine_policy": "production auto: VNS tracking = whole-SIM "
+                             "fused ADMM (entire closed loop in one Pallas "
+                             "kernel; checkpoints/"
+                             "sim_fused_qualification.json); GAM = fused "
                              "whole-PDIP; band = fused PDIP +lp20+split12 "
                              "(f32 band rows are engine-throughput only; "
                              "band decisions finalize at f64, PARITY.md)",

@@ -990,3 +990,312 @@ def closed_sim_admm_lanes(tables, lane_consts, Minv_t, r_l, *, nit: int,
     )(*([tables[k] for k in t_names] + [oh, r_l]
         + [lane_consts[k] for k in c_names] + [Minv_t]))
     return Y, U
+
+
+# ------------------------------------------------ whole-SIM PDIP kernel
+#
+# GAM-stage analogue of the whole-sim ADMM kernel: the entire nit-step
+# closed loop -- Kalman update, f/h assembly, WARM-STARTED masked PDIP
+# (the algorithm of _pdip_fused_kernel, trinv solves), plant step -- in
+# ONE pallas_call per lane block.  The GAM stage cannot run ADMM
+# (rank-flips on extreme CMA weight vectors, PERF.md engine policy), so
+# cutting its per-step scan overhead -- the same fixed cost the round-5
+# roofline measured at >50% of the VNS wall -- needs the PDIP iteration
+# inside the sim kernel.  Replaces the per-step toolbox QP of
+# /root/reference/MPC-Tuning/MPC_Tuning/closedloop_toolbox.m:50 inside
+# the fgoalattain objective loop (MPC_TFob.m:67, GAM_fun.m:79-91).
+
+# warm-start recentering floor -- keep in sync with ops/qp._WS_EPS (not
+# imported at module top to avoid a circular import)
+_WS_EPS_KERNEL = 1e-4
+
+
+def _closed_sim_pdip_kernel(nit: int, iters: int, eps_c: float,
+                            ridge: float, w_cap: float, ny: int, nu: int,
+                            n: int, mc: int, m_max: int,
+                            # shared tables
+                            Cpl_ref, Apl_ref, Bplu_ref, C_ref, Mk_ref,
+                            A_ref, Bu_ref, SxF_ref, SstF_ref, ThT_ref,
+                            G0_ref, G0T_ref, T2T_ref, Vt_ref, oh_ref,
+                            # per-lane constants
+                            r_ref, q_ref, hbase_ref, su_ref, rmask_ref,
+                            cmask_ref, sfy_ref, sfu_ref,
+                            # per-lane Hessians
+                            Hp_ref,
+                            # outputs
+                            Y_ref, U_ref,
+                            # scratch
+                            L_ref, Xi_ref):
+    """One Bt-lane block, all `nit` steps in VMEM; per-step QP = the
+    warm-started masked PDIP of _pdip_fused_kernel (same recentering,
+    best-iterate selection, Mehrotra corrector, blocked-L^{-1} solves),
+    with the (z, lam) warm pair carried across timesteps exactly like
+    the scan path's ws triple (sim/mpc_loop.closed_loop_core,
+    'pdip_ws_fused' branch; s is recomputed from the step's own h, as
+    the solve itself does).  Assembly mirrors _closed_sim_admm_kernel;
+    f/h stay UNSCALED (the PDIP conditions internally via w = lam/s)."""
+    dtype = r_ref.dtype
+    HIGH = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))
+
+    Cpl = Cpl_ref[...]
+    Apl = Apl_ref[...]
+    Bplu = Bplu_ref[...]
+    Cm = C_ref[...]
+    Mk = Mk_ref[...]
+    Am = A_ref[...]
+    Bu = Bu_ref[...]
+    SxF = SxF_ref[...]
+    SstF = SstF_ref[...]
+    ThT = ThT_ref[...]
+    G0 = G0_ref[...]
+    G0T = G0T_ref[...]
+    T2T = T2T_ref[...]
+    Vt = Vt_ref[...]
+    q = q_ref[...]
+    hbase = hbase_ref[...]
+    su = su_ref[...]
+    rmask = rmask_ref[...]
+    cmask = cmask_ref[...]
+    sfy = sfy_ref[...]
+    sfu = sfu_ref[...]
+    Hp = Hp_ref[...]
+
+    nxp = Apl.shape[0]
+    nxa = Am.shape[0]
+    pny = SxF.shape[0]
+    p = pny // ny
+    n_pad = cmask.shape[0]
+    mcp = rmask.shape[0]
+    Bt = q.shape[1]
+
+    cc = cmask[:, None, :] * cmask[None, :, :]
+    diag = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad, 1), 1)
+            ).astype(dtype)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    nact = jnp.maximum(jnp.sum(rmask, axis=0, keepdims=True), 1.0)
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def mm(Mat, X):
+        return jax.lax.dot_general(Mat, X, dn, precision=HIGH,
+                                   preferred_element_type=dtype)
+
+    def Gmat(z):
+        return rmask * mm(G0, cmask * z)
+
+    def GTmat(yv):
+        return cmask * mm(G0T, rmask * yv)
+
+    def Hz(z):
+        return jnp.sum(Hp * z[None, :, :], axis=1)
+
+    def factor(M):
+        L_ref[...] = M
+
+        def chol_step(j, _):
+            d = jnp.sqrt(L_ref[pl.ds(j, 1), pl.ds(j, 1), :])[0, 0, :]
+            col_raw = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+            below = (row_idx > j).astype(dtype)
+            col = col_raw * below / d[None, :]
+            dsel = (row_idx == j).astype(dtype)
+            L_ref[:, pl.ds(j, 1), :] = (col + dsel * d[None, :])[:, None, :]
+            L_ref[...] = L_ref[...] - col[:, None, :] * col[None, :, :]
+            return 0
+
+        jax.lax.fori_loop(0, n_pad, chol_step, 0)
+
+    def tril_invert():
+        # blocked-doubling explicit L^{-1} (see _pdip_fused_kernel)
+        L = L_ref[...]
+        dinv = 1.0 / jnp.sum(L * diag, axis=1)
+        Xi_ref[...] = dinv[:, None, :] * diag
+
+        def bmm(Am_, Bm):
+            return jnp.sum(Am_[:, :, None, :] * Bm[None, :, :, :], axis=1)
+
+        k = 1
+        while k < n_pad:
+            for o in range(0, n_pad, 2 * k):
+                if o + k >= n_pad:
+                    continue
+                hi = min(o + 2 * k, n_pad)
+                kp = hi - (o + k)
+                per_col = max(kp * k, kp * kp) * Bt * 4
+                chunk = max(1, min(k, (2 * 2 ** 20) // max(1, per_col)))
+                L21 = L[o + k:hi, o:o + k, :]
+                X22 = Xi_ref[o + k:hi, o + k:hi, :]
+                for c0 in range(0, k, chunk):
+                    c1 = min(c0 + chunk, k)
+                    X11c = Xi_ref[o:o + k, o + c0:o + c1, :]
+                    T = bmm(L21, X11c)
+                    Xi_ref[o + k:hi, o + c0:o + c1, :] = -bmm(X22, T)
+            k *= 2
+
+    def tri_solve(rhs):
+        Xi = Xi_ref[...]
+        yv = jnp.sum(Xi * rhs[None, :, :], axis=1)
+        return jnp.sum(Xi * yv[:, None, :], axis=0)
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / dv, inf)
+        return jnp.minimum(1.0, 0.995 * jnp.min(ratio, axis=0,
+                                                keepdims=True))
+
+    def step(k, carry):
+        x_pl, x_hat_pred, u_prev, z_w, lam_w = carry
+        ohk = oh_ref[pl.ds(k, 1), :]
+        vcols = jax.lax.dot_general(Vt, ohk, (((1,), (1,)), ((), ())),
+                                    precision=HIGH,
+                                    preferred_element_type=dtype)
+        dv_k = vcols[0:ny]
+        bv_k = vcols[ny:ny + nxa]
+        bpl_k = vcols[ny + nxa:ny + nxa + nxp]
+        sv_k = vcols[ny + nxa + nxp:ny + nxa + nxp + pny]
+
+        y = mm(Cpl, x_pl)
+        Y_ref[pl.ds(k, 1)] = y[None]
+        y_s = y / sfy
+        innov = y_s - mm(Cm, x_hat_pred) - dv_k
+        x_hat = x_hat_pred + mm(Mk, innov)
+
+        free = mm(SxF, x_hat) + mm(SstF, u_prev) + sv_k
+        r_k = r_ref[pl.ds(k, 1)][0]
+        r_t = jnp.broadcast_to(r_k[None], (p, ny, Bt)).reshape(pny, Bt)
+        err = q * (r_t - free)
+        f = cmask * (-2.0 * mm(ThT, err))     # masked cols exactly 0
+
+        u_t = jnp.broadcast_to(u_prev[None], (4 * m_max, nu, Bt)).reshape(
+            4 * m_max * nu, Bt)
+        u_t = jnp.concatenate(
+            [u_t, jnp.zeros((mcp - 4 * m_max * nu, Bt), dtype)], axis=0)
+        h = hbase + su * u_t
+
+        # ---- warm-started masked PDIP (the _pdip_fused_kernel body)
+        z = z_w
+        lam = jnp.maximum(lam_w, eps_c) * rmask
+        s = jnp.maximum(h - Gmat(z), eps_c)
+
+        def body(_, st):
+            z, lam, s, bz, blam, bm = st
+            r_d = Hz(z) + f + GTmat(lam)
+            r_p = Gmat(z) + s - h
+            gap = jnp.sum(lam * s, axis=0, keepdims=True)
+            mu = gap / nact
+
+            mnew = (jnp.sqrt(jnp.sum(r_d * r_d, axis=0, keepdims=True))
+                    + jnp.sqrt(jnp.sum(r_p * r_p, axis=0, keepdims=True))
+                    + gap)
+            take = mnew < bm
+            bz = jnp.where(take, z, bz)
+            blam = jnp.where(take, lam, blam)
+            bm = jnp.where(take, mnew, bm)
+
+            w = jnp.minimum(lam / s, w_cap) * rmask
+            Mw = mm(T2T, w)
+            M = Hp + Mw.reshape(n_pad, n_pad, -1) * cc + ridge * diag
+            factor(M)
+            tril_invert()
+
+            rhs_aff = -r_d + GTmat(lam - w * r_p)
+            dz_aff = tri_solve(rhs_aff)
+            ds_aff = -(r_p + Gmat(dz_aff))
+            dlam_aff = -(lam * s + lam * ds_aff) / s * rmask
+
+            a_aff = jnp.minimum(max_step(s, ds_aff),
+                                max_step(lam, dlam_aff))
+            mu_aff = jnp.sum((lam + a_aff * dlam_aff)
+                             * (s + a_aff * ds_aff),
+                             axis=0, keepdims=True) / nact
+            sig_r = mu_aff / (mu + 1e-30)
+            sigma = sig_r * sig_r * sig_r
+
+            r_cent = (lam * s - sigma * mu + dlam_aff * ds_aff) * rmask
+            dz = tri_solve(-r_d + GTmat(r_cent / s - w * r_p))
+            ds = -(r_p + Gmat(dz))
+            dlam = -(r_cent + lam * ds) / s * rmask
+
+            a = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
+            return (z + a * dz, lam + a * dlam, s + a * ds, bz, blam, bm)
+
+        bm0 = jnp.full((1, Bt), jnp.inf, dtype)
+        z, lam, s, bz, blam, bm = jax.lax.fori_loop(
+            0, iters, body, (z, lam, s, z, lam, bm0))
+
+        r_d = Hz(z) + f + GTmat(lam)
+        r_p = Gmat(z) + s - h
+        mlast = (jnp.sqrt(jnp.sum(r_d * r_d, axis=0, keepdims=True))
+                 + jnp.sqrt(jnp.sum(r_p * r_p, axis=0, keepdims=True))
+                 + jnp.sum(lam * s, axis=0, keepdims=True))
+        take = mlast < bm
+        z_b = jnp.where(take, z, bz)
+        lam_b = jnp.where(take, lam, blam)
+
+        du = z_b[0:nu]
+        u_s = u_prev + du
+        u_out = u_s * sfu
+        U_ref[pl.ds(k, 1)] = u_out[None]
+        x_hat_pred = mm(Am, x_hat) + mm(Bu, u_s) + bv_k
+        x_pl = mm(Apl, x_pl) + mm(Bplu, u_out) + bpl_k
+        return (x_pl, x_hat_pred, u_s, z_b, lam_b)
+
+    init = (jnp.zeros((nxp, Bt), dtype), jnp.zeros((nxa, Bt), dtype),
+            jnp.zeros((nu, Bt), dtype), jnp.zeros((n_pad, Bt), dtype),
+            jnp.ones((mcp, Bt), dtype))
+    jax.lax.fori_loop(0, nit, step, init)
+
+
+def closed_sim_pdip_lanes(tables, lane_consts, Hp_t, r_l, *, nit: int,
+                          iters: int, dims, block_lanes: int = 128):
+    """Whole-sim fused PDIP closed loop (GAM-stage speed path).
+
+    tables: shared 2-D arrays incl. the (n_pad^2, mcp) T2T constraint
+    table; lane_consts: (rows, B) per-lane constants incl. rmask/cmask;
+    Hp_t (n_pad, n_pad, B) per-lane Hessians (identity diagonal on
+    padded rows); r_l (nit, ny, B) pre-scaled setpoints.  Returns
+    (Y (nit, ny, B) raw outputs, U (nit, nu, B))."""
+    n_pad, _, B = Hp_t.shape
+    dtype = r_l.dtype
+    ny, nu, n, mc, m_max = (dims["ny"], dims["nu"], dims["n"], dims["mc"],
+                            dims["m_max"])
+    Bt = min(block_lanes, B)
+    assert B % Bt == 0, (B, Bt)
+    ridge = 1e-9 if dtype == jnp.float64 else 1e-6
+    w_cap = 1e13 if dtype == jnp.float64 else 1e7
+
+    shared = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                    memory_space=pltpu.VMEM)
+    lane2 = lambda rows: pl.BlockSpec((rows, Bt), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)
+
+    oh = jnp.eye(nit, dtype=dtype)
+    t_names = ("Cpl", "Apl", "Bplu", "C", "Mk", "A", "Bu", "SxF", "SstF",
+               "ThT", "G0", "G0T", "T2T", "Vt")
+    c_names = ("q", "hbase", "su", "rmask", "cmask", "sfy", "sfu")
+    in_specs = ([shared(tables[k]) for k in t_names] + [shared(oh)]
+                + [pl.BlockSpec((nit, ny, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)]
+                + [lane2(lane_consts[k].shape[0]) for k in c_names]
+                + [pl.BlockSpec((n_pad, n_pad, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)])
+    Y, U = pl.pallas_call(
+        functools.partial(_closed_sim_pdip_kernel, nit, iters,
+                          float(_WS_EPS_KERNEL), float(ridge),
+                          float(w_cap), ny, nu, n, mc, m_max),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((nit, ny, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nit, nu, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nit, ny, B), dtype),
+                   jax.ShapeDtypeStruct((nit, nu, B), dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, n_pad, Bt), dtype),
+            pltpu.VMEM((n_pad, n_pad, Bt), dtype),
+        ],
+        compiler_params=_fused_params(),
+        interpret=_interpret(),
+    )(*([tables[k] for k in t_names] + [oh, r_l]
+        + [lane_consts[k] for k in c_names] + [Hp_t]))
+    return Y, U

@@ -238,6 +238,21 @@ class MPCLoop:
                 return _closed_sim_fused_jit(
                     c, *args, d["p_max"], d["m_max"], d["ny"], d["nu"],
                     d["with_y"], d["rho"], qp_iters, lanes)
+        elif base == "pdip_sim_fused":
+            # whole-sim PDIP (GAM-stage speed path) — same envelope and
+            # fallback contract as the whole-sim ADMM engine
+            if (mesh is not None or d["with_y"]
+                    or not self._sim_fused_viable(loop, nit, lanes)):
+                qp_method = f"pdip_ws_fused@{min(lanes, 128)}"
+            else:
+                args = (jnp.asarray(r_b, dtype)[:, :nit],
+                        jnp.asarray(v[:nit], dtype),
+                        jnp.asarray(N_b), jnp.asarray(Nu_b),
+                        jnp.asarray(delta_b, dtype),
+                        jnp.asarray(lam_b, dtype))
+                return _closed_sim_pdip_jit(
+                    c, *args, d["p_max"], d["m_max"], d["ny"], d["nu"],
+                    d["with_y"], d["rho"], qp_iters, lanes)
         statics = (d["p_max"], d["m_max"], d["ny"], d["nu"], d["with_y"],
                    d["rho"], qp_iters, qp_method, _auto_pallas(use_pallas))
         args = (jnp.asarray(r_b, dtype)[:, :nit], jnp.asarray(v[:nit], dtype),
@@ -875,3 +890,131 @@ def _closed_sim_fused_body(c, r_b, v, N_b, Nu_b, delta_b, lam_b, p_max,
 
 _closed_sim_fused_jit = partial(
     jax.jit, static_argnums=tuple(range(7, 15)))(closed_loop_batch_sim_fused)
+
+
+def closed_loop_batch_sim_pdip(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
+                               p_max, m_max, ny, nu, with_y, rho,
+                               qp_iters, block_lanes: int = 128):
+    """Whole-sim PDIP engine ('pdip_sim_fused'): the entire nit-step
+    closed loop — Kalman update, f/h assembly, WARM-STARTED masked PDIP,
+    plant step — in ONE Pallas kernel per lane block
+    (ops/pallas_kernels.closed_sim_pdip_lanes).  The GAM-stage analogue
+    of 'admm_sim_fused' (GAM cannot run ADMM — CMA-trajectory
+    disqualification, PERF.md); algorithm-identical to the
+    'pdip_ws_fused' scan path.  Returns (Y (B, nit, ny), U (B, nit, nu)).
+    """
+    assert not with_y, "whole-sim kernels cover tracking cases only"
+    from mpc_tuning_tpu.ops.pallas_kernels import closed_sim_pdip_lanes
+
+    # trace the candidate tables under 'highest' — see
+    # closed_loop_batch_sim_fused (the bf16-pass H/Minv tables were the
+    # whole-sim ADMM kernel's entire round-5 deviation)
+    with jax.default_matmul_precision("highest"):
+        dtype = r_b.dtype
+        B = r_b.shape[0]
+        nit = r_b.shape[1]
+        n = m_max * nu + 1
+        mc = 4 * m_max * nu + 1
+        n_pad = max(8, -(-n // 8) * 8)
+        mcp = max(8, -(-mc // 8) * 8)
+
+        cand = jax.vmap(
+            assemble_candidate,
+            in_axes=(None, 0, 0, 0, 0) + (None,) * 6,
+        )(c, N_b, Nu_b, delta_b, lam_b, p_max, m_max, ny, nu, rho, False)
+
+        def lanes(x, pad_to=None, fill=0.0):
+            x = x.T
+            if pad_to is not None and x.shape[0] < pad_to:
+                x = jnp.concatenate(
+                    [x, jnp.full((pad_to - x.shape[0], B), fill, dtype)],
+                    axis=0)
+            return x.astype(dtype)
+
+        Hp_t = jnp.zeros((n_pad, n_pad, B), dtype)
+        Hp_t = Hp_t.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+        Hp_t = Hp_t.at[:n, :n, :].set(cand["H"].transpose(1, 2, 0))
+
+        i_idx = jnp.arange(1, p_max + 1)
+        row_mask = (i_idx[None, :] <= N_b[:, None]).astype(dtype)
+        q_b = (jnp.abs(delta_b[:, None, :]) ** 2
+               * row_mask[:, :, None]).reshape(B, p_max * ny)
+
+        ones_m = np.ones(m_max)
+        kr = lambda vec: jnp.kron(jnp.asarray(ones_m, dtype),
+                                  jnp.asarray(vec, dtype))
+        h1 = cand["en_du_hi"] * kr(c["dumax"]) + (1.0 - cand["en_du_hi"])
+        h2 = -cand["en_du_lo"] * kr(c["dumin"]) + (1.0 - cand["en_du_lo"])
+        h3 = cand["en_u_hi"] * kr(c["umax"]) + (1.0 - cand["en_u_hi"])
+        h4 = -cand["en_u_lo"] * kr(c["umin"]) + (1.0 - cand["en_u_lo"])
+        zero1 = jnp.zeros((B, 1), dtype)
+        hbase = jnp.concatenate([h1, h2, h3, h4, zero1], axis=1)
+        su = jnp.concatenate([jnp.zeros_like(h1), jnp.zeros_like(h2),
+                              -cand["en_u_hi"], cand["en_u_lo"], zero1],
+                             axis=1)
+
+        lane_consts = {
+            "q": lanes(q_b),
+            "hbase": lanes(hbase, mcp, 1.0),
+            "su": lanes(su, mcp),
+            "rmask": lanes(cand["rmask"], mcp),
+            "cmask": lanes(cand["cmask_z"], n_pad),
+            "sfy": jnp.broadcast_to(jnp.asarray(c["sf_y"], dtype)[:, None],
+                                    (ny, B)),
+            "sfu": jnp.broadcast_to(jnp.asarray(c["sf_u"], dtype)[:, None],
+                                    (nu, B)),
+        }
+
+        pny = p_max * ny
+        SxF = jnp.asarray(c["Sx"], dtype).reshape(pny, -1)
+        SstF = jnp.asarray(c["Sstep"], dtype)[1:].reshape(pny, nu)
+        v_t = jnp.asarray(v, dtype)
+        sf_v = jnp.asarray(c["sf_v"], dtype)
+        v_s = v_t / sf_v if v_t.shape[1] else v_t
+        SvF = jnp.asarray(c["Sv"], dtype).reshape(pny, -1)
+        nxa = c["A"].shape[0]
+        nxp = c["A_pl"].shape[0]
+        Dvv = (jnp.asarray(c["Dv"], dtype) @ v_s.T if v_t.shape[1]
+               else jnp.zeros((ny, nit), dtype))
+        Bvv = (jnp.asarray(c["Bv"], dtype) @ v_s.T if v_t.shape[1]
+               else jnp.zeros((nxa, nit), dtype))
+        Bplv = (jnp.asarray(c["B_pl"], dtype)[:, nu:] @ v_t.T
+                if v_t.shape[1] else jnp.zeros((nxp, nit), dtype))
+        Svv = (SvF @ v_s.T if v_t.shape[1]
+               else jnp.zeros((pny, nit), dtype))
+        Vt = jnp.concatenate([Dvv, Bvv, Bplv, Svv], axis=0)
+
+        ThT = jnp.zeros((n_pad, pny), dtype)
+        ThT = ThT.at[:m_max * nu, :].set(jnp.asarray(c["Theta"], dtype).T)
+        G0p = jnp.zeros((mcp, n_pad), dtype).at[:mc, :n].set(
+            jnp.asarray(c["G0"], dtype)[:mc])
+        T2p = jnp.zeros((mcp, n_pad, n_pad), dtype)
+        T2p = T2p.at[:mc, :n, :n].set(
+            jnp.asarray(c["T2"], dtype)[:mc].reshape(mc, n, n))
+        T2T = T2p.reshape(mcp, n_pad * n_pad).T
+
+        tables = {
+            "Cpl": jnp.asarray(c["C_pl"], dtype),
+            "Apl": jnp.asarray(c["A_pl"], dtype),
+            "Bplu": jnp.asarray(c["B_pl"], dtype)[:, :nu],
+            "C": jnp.asarray(c["C"], dtype),
+            "Mk": jnp.asarray(c["M"], dtype),
+            "A": jnp.asarray(c["A"], dtype),
+            "Bu": jnp.asarray(c["Bu"], dtype),
+            "SxF": SxF, "SstF": SstF, "ThT": ThT,
+            "G0": G0p, "G0T": jnp.transpose(G0p), "T2T": T2T, "Vt": Vt,
+        }
+
+        r_l = (jnp.asarray(r_b, dtype)
+               / jnp.asarray(c["sf_y"], dtype)[None, None, :]
+               ).transpose(1, 2, 0)
+
+        Y, U = closed_sim_pdip_lanes(
+            tables, lane_consts, Hp_t, r_l, nit=nit, iters=qp_iters,
+            dims=dict(ny=ny, nu=nu, n=n, mc=mc, m_max=m_max),
+            block_lanes=block_lanes)
+    return Y.transpose(2, 0, 1), U.transpose(2, 0, 1)
+
+
+_closed_sim_pdip_jit = partial(
+    jax.jit, static_argnums=tuple(range(7, 15)))(closed_loop_batch_sim_pdip)

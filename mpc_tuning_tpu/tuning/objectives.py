@@ -121,6 +121,17 @@ def resolve_qp_method(method: str, band: bool = False,
 
         if not fused_pdip_viable(*shape):
             return "pdip_ws_lanes"
+    if shape is not None and not shape[4]:
+        # tracking GAM: the whole-SIM PDIP kernel — qualified on the CMA
+        # weight-trajectory distribution at the incumbent's own flip
+        # noise (4/528 vs 3/528 pairwise, argmin preserved every
+        # generation, checkpoints/sim_pdip_qualification.json); +3% at
+        # the B=2048 bench shape and the big win at the REAL tuner's
+        # popsize-12 latency-bound batches (whole loop = ONE kernel
+        # launch vs 400 dispatched steps).  closed_batch falls back to
+        # pdip_ws_fused outside the kernel envelope (mesh / with_y /
+        # VMEM-infeasible nit).
+        return "pdip_sim_fused@128"
     return "pdip_ws_fused"
 
 

@@ -183,6 +183,34 @@ def main():
                      f"algorithm: dY={dy:.3e}")
     print("wb admm_fused kernel-correctness:", dy, du, flush=True)
 
+    # ---------------- whole-SIM kernels vs their scan counterparts
+    # (round 5: the entire closed loop in ONE Pallas call per lane
+    # block).  Both sides run through the PUBLIC MPCLoop.closed_batch
+    # dispatch at auto caps; gate = the scan baseline's own f32 noise
+    # class (the round-5 bf16-table bug read 8.6e-2 here — two orders
+    # over this gate — before the precision fix)
+    sim_gate = max(2 * out["wb_max_dY_vs_f64truth_pdip_ws"], 1e-4)
+    out["wb_sim_kernel_gate_dY"] = sim_gate
+    for sim_m, scan_m, its in (("admm_sim_fused@512", "admm_fused@512", 40),
+                               ("pdip_sim_fused@128", "pdip_ws_fused",
+                                ITERS)):
+        t0 = time.perf_counter()
+        Y1, U1 = loop.closed_batch(r_np, problem.v[:nit], N_b, Nu_b,
+                                   delta_np, lam_np, nit, jnp.float32,
+                                   its, qp_method=sim_m)
+        out[f"wb_{sim_m}_wall_s"] = round(time.perf_counter() - t0, 2)
+        Y2, U2 = loop.closed_batch(r_np, problem.v[:nit], N_b, Nu_b,
+                                   delta_np, lam_np, nit, jnp.float32,
+                                   its, qp_method=scan_m)
+        dy = float(np.abs(np.asarray(Y1) - np.asarray(Y2)).max())
+        du = float(np.abs(np.asarray(U1) - np.asarray(U2)).max())
+        out[f"wb_max_dY_{sim_m}_vs_{scan_m}"] = dy
+        out[f"wb_max_dU_{sim_m}_vs_{scan_m}"] = du
+        if dy > sim_gate:
+            FAILS.append(f"whole-sim kernel {sim_m} drifted from {scan_m}: "
+                         f"dY={dy:.3e} > {sim_gate:.3e}")
+        print("wb whole-sim agreement:", sim_m, dy, du, flush=True)
+
     # ---------------- Shell7x5 band shape (n_pad=48, mc=601)
     from mpc_tuning_tpu.cases import shell7x5
     from mpc_tuning_tpu.cases.cross_eval import REF_TUNED

@@ -47,8 +47,19 @@ def table(problem, N_b, Nu_b, delta, lam):
         import contextlib
         ctx = jax.default_device(dev) if dev is not None else (
             contextlib.nullcontext())
-        with ctx:
-            return vns_objective_batch(problem, N_b, Nu_b, delta, lam)
+        # true 53-bit truth on the CPU leg: x64 toggles ON only around
+        # it (never while tracing f32 Pallas kernels — CLAUDE.md /
+        # scripts/check_engines_tpu.py pattern).  Without this the
+        # requested float64 silently truncated to f32.
+        x64 = dtype == jnp.float64
+        if x64:
+            jax.config.update("jax_enable_x64", True)
+        try:
+            with ctx:
+                return vns_objective_batch(problem, N_b, Nu_b, delta, lam)
+        finally:
+            if x64:
+                jax.config.update("jax_enable_x64", False)
 
     F_ref = eval_F("pdip_ws", 15, jnp.float64, cpu)
     for method in ("admm_fused@512", "admm_sim_fused@512"):

@@ -80,10 +80,15 @@ def test_auto_resolution_on_tpu_backend(monkeypatch):
                              dims=S7) == "pdip_ws_fused+lp20+split12"
     assert resolve_qp_method("auto", stage="gam", band=True,
                              dims=S7) == "pdip_ws_fused+lp20+split12"
-    assert resolve_qp_method("auto", stage="gam", dims=WB) == "pdip_ws_fused"
-    assert resolve_qp_method("auto", stage="gam", dims=S3) == "pdip_ws_fused"
-    # Shell7x5 now VMEM-viable for the fused PDIP (round-4 probe + raised
-    # Mosaic limit) - and the production path caps shapes well below this
+    # round 5: tracking GAM resolves to the whole-SIM PDIP kernel
+    # (CMA-trajectory-qualified, checkpoints/sim_pdip_qualification.json)
+    assert resolve_qp_method("auto", stage="gam",
+                             dims=WB) == "pdip_sim_fused@128"
+    assert resolve_qp_method("auto", stage="gam",
+                             dims=S3) == "pdip_sim_fused@128"
+    # Shell7x5 is with_y: outside the whole-sim envelope, stays on the
+    # step-fused PDIP (VMEM-viable since the round-4 probe + raised
+    # Mosaic limit)
     assert resolve_qp_method("auto", stage="gam", dims=S7) == "pdip_ws_fused"
 
 

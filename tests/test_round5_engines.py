@@ -104,6 +104,27 @@ def test_whole_sim_fused_kernel_matches_admm_scan():
     np.testing.assert_allclose(np.asarray(Us), np.asarray(Ur), atol=1e-12)
 
 
+def test_whole_sim_pdip_kernel_matches_scan():
+    """Whole-sim PDIP kernel (GAM-stage speed path): must reproduce the
+    'pdip_ws_fused' scan engine exactly at f64 (same warm-started masked
+    PDIP per step, same best-iterate selection; measured 4e-15) — the
+    correctness basis for its on-chip GAM adoption
+    (checkpoints/sim_pdip_qualification.json)."""
+    NIT, B = 60, 4
+    case = woodberry.make_case(nit=NIT, nbp=5, nbc=2)
+    problem, _ = build_problem(case, dtype=jnp.float64, qp_iters=15)
+    loop = problem.loop
+    rng = np.random.default_rng(0)
+    r_b = np.broadcast_to(problem.r[:NIT], (B, NIT, 2))
+    args = (r_b, problem.v, np.array([8, 12, 16, 20]), np.full(B, 2),
+            rng.uniform(0.2, 2.0, (B, 2)), rng.uniform(0.01, 0.5, (B, 2)),
+            NIT, jnp.float64, 15)
+    Yk, Uk = loop.closed_batch(*args, qp_method="pdip_sim_fused@128")
+    Ys, Us = loop.closed_batch(*args, qp_method="pdip_ws_fused")
+    np.testing.assert_allclose(np.asarray(Yk), np.asarray(Ys), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Uk), np.asarray(Us), atol=1e-12)
+
+
 def test_sim_fused_dispatch_and_mesh_fallback():
     """'admm_sim_fused' is the round-5 production VNS engine (adopted at
     zero decision flips after the candidate-table precision fix,
