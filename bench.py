@@ -190,11 +190,22 @@ def bench_shell7x5(B, iters, dtype):
     else:
         band_method = "pdip_ws"
 
-    def run():
-        with jax.default_matmul_precision("highest"):
-            Y, _ = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
-                                     *statics, band_method, on_tpu)
-        return _sync(Y)
+    if band_method.split("@")[0].split("+")[0] == "pdip_sim_fused":
+        # round-5 whole-sim band engine: dispatch through the production
+        # MPCLoop path (kernel + envelope fallback)
+        def run():
+            Y, _ = loop.closed_batch(r_b, v, N_b, Nu_b, delta_b, lam_b,
+                                     nit, dtype, iters,
+                                     qp_method=band_method,
+                                     caps=(d["p_max"], d["m_max"]))
+            return _sync(Y)
+    else:
+        def run():
+            with jax.default_matmul_precision("highest"):
+                Y, _ = closed_loop_batch(c, r_b, v, N_b, Nu_b, delta_b,
+                                         lam_b, *statics, band_method,
+                                         on_tpu)
+            return _sync(Y)
 
     dt, dt_best, dts = _time_reps(run)
     stats = {"best_sims_per_s": round(B / dt_best, 2),

@@ -1299,3 +1299,368 @@ def closed_sim_pdip_lanes(tables, lane_consts, Hp_t, r_l, *, nit: int,
     )(*([tables[k] for k in t_names] + [oh, r_l]
         + [lane_consts[k] for k in c_names] + [Hp_t]))
     return Y, U
+
+
+# ------------------------------------------------ whole-SIM band kernel
+#
+# The band-case (with_y) analogue: the entire nit-step Shell7x5-class
+# closed loop — Kalman update, f/h assembly incl. the 2*p*ny soft band
+# rows whose rhs depends on the step's free response, the stage-0 slack
+# LP with transition-aware slack seeding, and the slack-frozen stage-2
+# PDIP of the production '+lp20+split12' band engine — in ONE
+# pallas_call per lane block.  Algorithm-identical to the
+# closed_loop_core band branch (sim/mpc_loop: _seed_slack +
+# _eps_split_stage2 around solve_qp_masked_fast); the f32 band row is
+# engine-throughput/screening only (band DECISIONS stay on the f64
+# lanes path, PARITY.md).  Replaces the per-step toolbox band QP of
+# /root/reference/MPC-Tuning/MPC_Tuning/closedloop_toolbox.m:50 at
+# Shell7x5.m:155-189 settings.
+
+
+def _closed_sim_band_kernel(nit: int, lp_iters: int, s2_iters: int,
+                            eps_c: float, ridge: float, w_cap: float,
+                            m_rel: float, m_abs: float,
+                            ny: int, nu: int, n: int, mc: int, m_max: int,
+                            # shared tables
+                            Cpl_ref, Apl_ref, Bplu_ref, C_ref, Mk_ref,
+                            A_ref, Bu_ref, SxF_ref, SstF_ref, ThT_ref,
+                            G0_ref, G0T_ref, T2T_ref, Vt_ref, oh_ref,
+                            # per-lane constants
+                            r_ref, q_ref, hbu_ref, su_ref, hbyh_ref,
+                            rmyh_ref, hbyl_ref, rmyl_ref, rmask_ref,
+                            cmask_ref, cmask2_ref, lpd_ref, sfy_ref,
+                            sfu_ref,
+                            # per-lane Hessians
+                            Hp_ref,
+                            # outputs
+                            Y_ref, U_ref,
+                            # scratch
+                            L_ref, Xi_ref):
+    """One Bt-lane block, all `nit` band-control steps in VMEM.
+
+    h rows follow assemble_candidate's block order
+    [du_hi | du_lo | u_hi | u_lo | y_hi | y_lo | eps | pad]:
+    hbu/su cover the 4*m_max*nu input blocks (h = hbu + su*u_t), the
+    band blocks are hb_yhi - rm_yhi*free and hb_ylo + rm_ylo*free
+    (hb_* fold the enable masks and ymax/ymin tiles), the eps row is 0
+    and padded rows are 1 with rmask 0.  The stage-0 LP runs against
+    the diagonal H_lp (lpd lane const) with f_lp = e_slack; stage 2
+    re-solves the full Hessian with the slack FROZEN into the band
+    rows' rhs (ehat = LP slack + residual violation + margin) and the
+    slack column masked (cmask2) — matching _eps_split_stage2's fused
+    path op for op (s recomputed from h, best-iterate selection)."""
+    dtype = r_ref.dtype
+    HIGH = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))
+
+    Cpl = Cpl_ref[...]
+    Apl = Apl_ref[...]
+    Bplu = Bplu_ref[...]
+    Cm = C_ref[...]
+    Mk = Mk_ref[...]
+    Am = A_ref[...]
+    Bu = Bu_ref[...]
+    SxF = SxF_ref[...]
+    SstF = SstF_ref[...]
+    ThT = ThT_ref[...]
+    G0 = G0_ref[...]
+    G0T = G0T_ref[...]
+    T2T = T2T_ref[...]
+    Vt = Vt_ref[...]
+    q = q_ref[...]
+    hbu = hbu_ref[...]
+    su = su_ref[...]
+    hbyh = hbyh_ref[...]
+    rmyh = rmyh_ref[...]
+    hbyl = hbyl_ref[...]
+    rmyl = rmyl_ref[...]
+    rmask = rmask_ref[...]
+    cmask = cmask_ref[...]
+    cmask2 = cmask2_ref[...]
+    lpd = lpd_ref[...]
+    sfy = sfy_ref[...]
+    sfu = sfu_ref[...]
+    Hp = Hp_ref[...]
+
+    nxp = Apl.shape[0]
+    nxa = Am.shape[0]
+    pny = SxF.shape[0]
+    p = pny // ny
+    n_pad = cmask.shape[0]
+    mcp = rmask.shape[0]
+    ndu4 = hbu.shape[0]
+    Bt = q.shape[1]
+
+    diag = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad, 1), 1)
+            ).astype(dtype)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    e_slack = (row_idx == n - 1).astype(dtype)       # (n_pad, 1)
+    f_lp = jnp.broadcast_to(e_slack, (n_pad, Bt))
+    nact = jnp.maximum(jnp.sum(rmask, axis=0, keepdims=True), 1.0)
+    inf = jnp.asarray(jnp.inf, dtype)
+    slack_col = G0[:, n - 1:n]                       # (mcp, 1)
+    Vcol = jnp.maximum(-slack_col, 0.0)
+
+    def mm(Mat, X):
+        return jax.lax.dot_general(Mat, X, dn, precision=HIGH,
+                                   preferred_element_type=dtype)
+
+    def Gmat(z, cm):
+        return rmask * mm(G0, cm * z)
+
+    def GTmat(yv, cm):
+        return cm * mm(G0T, rmask * yv)
+
+    def factor(M):
+        L_ref[...] = M
+
+        def chol_step(j, _):
+            d = jnp.sqrt(L_ref[pl.ds(j, 1), pl.ds(j, 1), :])[0, 0, :]
+            col_raw = L_ref[:, pl.ds(j, 1), :][:, 0, :]
+            below = (row_idx > j).astype(dtype)
+            col = col_raw * below / d[None, :]
+            dsel = (row_idx == j).astype(dtype)
+            L_ref[:, pl.ds(j, 1), :] = (col + dsel * d[None, :])[:, None, :]
+            L_ref[...] = L_ref[...] - col[:, None, :] * col[None, :, :]
+            return 0
+
+        jax.lax.fori_loop(0, n_pad, chol_step, 0)
+
+    def tril_invert():
+        L = L_ref[...]
+        dinv = 1.0 / jnp.sum(L * diag, axis=1)
+        Xi_ref[...] = dinv[:, None, :] * diag
+
+        def bmm(Am_, Bm):
+            return jnp.sum(Am_[:, :, None, :] * Bm[None, :, :, :], axis=1)
+
+        k = 1
+        while k < n_pad:
+            for o in range(0, n_pad, 2 * k):
+                if o + k >= n_pad:
+                    continue
+                hi = min(o + 2 * k, n_pad)
+                kp = hi - (o + k)
+                per_col = max(kp * k, kp * kp) * Bt * 4
+                chunk = max(1, min(k, (2 * 2 ** 20) // max(1, per_col)))
+                L21 = L[o + k:hi, o:o + k, :]
+                X22 = Xi_ref[o + k:hi, o + k:hi, :]
+                for c0 in range(0, k, chunk):
+                    c1 = min(c0 + chunk, k)
+                    X11c = Xi_ref[o:o + k, o + c0:o + c1, :]
+                    T = bmm(L21, X11c)
+                    Xi_ref[o + k:hi, o + c0:o + c1, :] = -bmm(X22, T)
+            k *= 2
+
+    def tri_solve(rhs):
+        Xi = Xi_ref[...]
+        yv = jnp.sum(Xi * rhs[None, :, :], axis=1)
+        return jnp.sum(Xi * yv[:, None, :], axis=0)
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / dv, inf)
+        return jnp.minimum(1.0, 0.995 * jnp.min(ratio, axis=0,
+                                                keepdims=True))
+
+    def pdip(Mbase, hz, f, h, cm, z0, lam0, iters):
+        """Warm-started masked PDIP (the _pdip_fused_kernel body) with a
+        pluggable quadratic term: Mbase (n_pad, n_pad, Bt) value and
+        hz(z) matching it."""
+        cc = cm[:, None, :] * cm[None, :, :]
+        z = z0
+        lam = jnp.maximum(lam0, eps_c) * rmask
+        s = jnp.maximum(h - Gmat(z, cm), eps_c)
+
+        def body(_, st):
+            z, lam, s, bz, blam, bm = st
+            r_d = hz(z) + f + GTmat(lam, cm)
+            r_p = Gmat(z, cm) + s - h
+            gap = jnp.sum(lam * s, axis=0, keepdims=True)
+            mu = gap / nact
+
+            mnew = (jnp.sqrt(jnp.sum(r_d * r_d, axis=0, keepdims=True))
+                    + jnp.sqrt(jnp.sum(r_p * r_p, axis=0, keepdims=True))
+                    + gap)
+            take = mnew < bm
+            bz = jnp.where(take, z, bz)
+            blam = jnp.where(take, lam, blam)
+            bm = jnp.where(take, mnew, bm)
+
+            w = jnp.minimum(lam / s, w_cap) * rmask
+            Mw = mm(T2T, w)
+            M = Mbase + Mw.reshape(n_pad, n_pad, -1) * cc + ridge * diag
+            factor(M)
+            tril_invert()
+
+            rhs_aff = -r_d + GTmat(lam - w * r_p, cm)
+            dz_aff = tri_solve(rhs_aff)
+            ds_aff = -(r_p + Gmat(dz_aff, cm))
+            dlam_aff = -(lam * s + lam * ds_aff) / s * rmask
+
+            a_aff = jnp.minimum(max_step(s, ds_aff),
+                                max_step(lam, dlam_aff))
+            mu_aff = jnp.sum((lam + a_aff * dlam_aff)
+                             * (s + a_aff * ds_aff),
+                             axis=0, keepdims=True) / nact
+            sig_r = mu_aff / (mu + 1e-30)
+            sigma = sig_r * sig_r * sig_r
+
+            r_cent = (lam * s - sigma * mu + dlam_aff * ds_aff) * rmask
+            dz = tri_solve(-r_d + GTmat(r_cent / s - w * r_p, cm))
+            ds = -(r_p + Gmat(dz, cm))
+            dlam = -(r_cent + lam * ds) / s * rmask
+
+            a = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
+            return (z + a * dz, lam + a * dlam, s + a * ds, bz, blam, bm)
+
+        bm0 = jnp.full((1, Bt), jnp.inf, dtype)
+        z, lam, s, bz, blam, bm = jax.lax.fori_loop(
+            0, iters, body, (z, lam, s, z, lam, bm0))
+        r_d = hz(z) + f + GTmat(lam, cm)
+        r_p = Gmat(z, cm) + s - h
+        mlast = (jnp.sqrt(jnp.sum(r_d * r_d, axis=0, keepdims=True))
+                 + jnp.sqrt(jnp.sum(r_p * r_p, axis=0, keepdims=True))
+                 + jnp.sum(lam * s, axis=0, keepdims=True))
+        take = mlast < bm
+        return (jnp.where(take, z, bz), jnp.where(take, lam, blam))
+
+    Mlp = lpd[:, None, :] * diag                      # diagonal H_lp
+
+    def hz_lp(z):
+        return lpd * z
+
+    def hz_qp(z):
+        return jnp.sum(Hp * z[None, :, :], axis=1)
+
+    def _extra(z, h):
+        """max residual soft-row violation per unit of slack (the shared
+        core of _seed_slack and _eps_split_stage2)."""
+        Gz = Gmat(z, cmask)
+        viol = jnp.maximum(Gz - h, 0.0)
+        r = jnp.where(Vcol > 1e-12, viol / jnp.maximum(Vcol, 1e-12), 0.0)
+        return jnp.max(r, axis=0, keepdims=True)      # (1, Bt)
+
+    def step(k, carry):
+        x_pl, x_hat_pred, u_prev, z_w, lam_w = carry
+        ohk = oh_ref[pl.ds(k, 1), :]
+        vcols = jax.lax.dot_general(Vt, ohk, (((1,), (1,)), ((), ())),
+                                    precision=HIGH,
+                                    preferred_element_type=dtype)
+        dv_k = vcols[0:ny]
+        bv_k = vcols[ny:ny + nxa]
+        bpl_k = vcols[ny + nxa:ny + nxa + nxp]
+        sv_k = vcols[ny + nxa + nxp:ny + nxa + nxp + pny]
+
+        y = mm(Cpl, x_pl)
+        Y_ref[pl.ds(k, 1)] = y[None]
+        y_s = y / sfy
+        innov = y_s - mm(Cm, x_hat_pred) - dv_k
+        x_hat = x_hat_pred + mm(Mk, innov)
+
+        free = mm(SxF, x_hat) + mm(SstF, u_prev) + sv_k
+        r_k = r_ref[pl.ds(k, 1)][0]
+        r_t = jnp.broadcast_to(r_k[None], (p, ny, Bt)).reshape(pny, Bt)
+        err = q * (r_t - free)
+        f = cmask * (-2.0 * mm(ThT, err))
+
+        u_t = jnp.broadcast_to(u_prev[None], (4 * m_max, nu, Bt)).reshape(
+            4 * m_max * nu, Bt)
+        h_u = hbu + su * u_t                          # (4*m*nu, Bt)
+        h_yh = hbyh - rmyh * free                     # (pny, Bt)
+        h_yl = hbyl + rmyl * free
+        h = jnp.concatenate(
+            [h_u, h_yh, h_yl, jnp.zeros((1, Bt), dtype),
+             jnp.ones((mcp - ndu4 - 2 * pny - 1, Bt), dtype)], axis=0)
+
+        # ---- transition-aware slack seeding (_seed_slack)
+        extra0 = _extra(z_w, h)
+        eps_w = jnp.maximum(jnp.sum(z_w * e_slack, axis=0, keepdims=True),
+                            0.0)
+        z_new_slack = eps_w + extra0 + 1e-6
+        z0 = z_w * (1.0 - e_slack) + e_slack * z_new_slack
+        jumped = extra0 > 1e-3 * (1.0 + eps_w)        # (1, Bt)
+        lam0 = jnp.where(jumped, jnp.ones_like(lam_w), lam_w)
+
+        # ---- stage 0: slack LP (lp_iters)
+        z1, lam1 = pdip(Mlp, hz_lp, f_lp, h, cmask, z0, lam0, lp_iters)
+
+        # ---- stage 2: slack-frozen re-solve (_eps_split_stage2)
+        extra1 = _extra(z1, h)
+        z1_slack = jnp.maximum(jnp.sum(z1 * e_slack, axis=0,
+                                       keepdims=True), 0.0)
+        ehat = (z1_slack + extra1) * (1.0 + m_rel) + m_abs
+        h2 = h - slack_col * rmask * ehat
+        z2, _ = pdip(Hp, hz_qp, f, h2, cmask2,
+                     z1 * (1.0 - e_slack), lam1, s2_iters)
+
+        du = z2[0:nu]
+        u_s = u_prev + du
+        u_out = u_s * sfu
+        U_ref[pl.ds(k, 1)] = u_out[None]
+        x_hat_pred = mm(Am, x_hat) + mm(Bu, u_s) + bv_k
+        x_pl = mm(Apl, x_pl) + mm(Bplu, u_out) + bpl_k
+        return (x_pl, x_hat_pred, u_s, z1, lam1)
+
+    init = (jnp.zeros((nxp, Bt), dtype), jnp.zeros((nxa, Bt), dtype),
+            jnp.zeros((nu, Bt), dtype), jnp.zeros((n_pad, Bt), dtype),
+            jnp.ones((mcp, Bt), dtype))
+    jax.lax.fori_loop(0, nit, step, init)
+
+
+def closed_sim_band_lanes(tables, lane_consts, Hp_t, r_l, *, nit: int,
+                          lp_iters: int, s2_iters: int, dims,
+                          block_lanes: int = 128):
+    """Whole-sim band closed loop ('+lp+split' engine in ONE kernel).
+
+    Same calling convention as closed_sim_pdip_lanes plus the band lane
+    constants (hb_yhi/rm_yhi/hb_ylo/rm_ylo/cmask2/lpd)."""
+    n_pad, _, B = Hp_t.shape
+    dtype = r_l.dtype
+    ny, nu, n, mc, m_max = (dims["ny"], dims["nu"], dims["n"], dims["mc"],
+                            dims["m_max"])
+    Bt = min(block_lanes, B)
+    assert B % Bt == 0, (B, Bt)
+    ridge = 1e-9 if dtype == jnp.float64 else 1e-6
+    w_cap = 1e13 if dtype == jnp.float64 else 1e7
+
+    shared = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                    memory_space=pltpu.VMEM)
+    lane2 = lambda rows: pl.BlockSpec((rows, Bt), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)
+
+    oh = jnp.eye(nit, dtype=dtype)
+    t_names = ("Cpl", "Apl", "Bplu", "C", "Mk", "A", "Bu", "SxF", "SstF",
+               "ThT", "G0", "G0T", "T2T", "Vt")
+    c_names = ("q", "hbu", "su", "hbyh", "rmyh", "hbyl", "rmyl", "rmask",
+               "cmask", "cmask2", "lpd", "sfy", "sfu")
+    in_specs = ([shared(tables[k]) for k in t_names] + [shared(oh)]
+                + [pl.BlockSpec((nit, ny, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)]
+                + [lane2(lane_consts[k].shape[0]) for k in c_names]
+                + [pl.BlockSpec((n_pad, n_pad, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)])
+    Y, U = pl.pallas_call(
+        functools.partial(_closed_sim_band_kernel, nit, lp_iters, s2_iters,
+                          float(_WS_EPS_KERNEL), float(ridge),
+                          float(w_cap),
+                          1e-9 if dtype == jnp.float64 else 1e-6,
+                          1e-11 if dtype == jnp.float64 else 1e-8,
+                          ny, nu, n, mc, m_max),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((nit, ny, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nit, nu, Bt), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nit, ny, B), dtype),
+                   jax.ShapeDtypeStruct((nit, nu, B), dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, n_pad, Bt), dtype),
+            pltpu.VMEM((n_pad, n_pad, Bt), dtype),
+        ],
+        compiler_params=_fused_params(),
+        interpret=_interpret(),
+    )(*([tables[k] for k in t_names] + [oh, r_l]
+        + [lane_consts[k] for k in c_names] + [Hp_t]))
+    return Y, U

@@ -177,9 +177,9 @@ class MPCLoop:
         ny, nu, nd = s.model.ny, s.n_mv, s.n_md
         n = s.m_max * nu + 1
         n_pad = max(8, -(-n // 8) * 8)
-        mc = 4 * s.m_max * nu + 1
-        mcp = max(8, -(-mc // 8) * 8)
         pny = s.p_max * ny
+        mc = 4 * s.m_max * nu + 1 + (2 * pny if s.has_y_constraints else 0)
+        mcp = max(8, -(-mc // 8) * 8)
         nxa = loop.ctl.A.shape[0]
         nxp = loop.plant_ss.A.shape[0]
         nv = ny + nxa + nxp + pny
@@ -188,11 +188,12 @@ class MPCLoop:
         words = (
             nit * (2 * ny + nu) * Bt          # r + Y + U blocks
             + nit * nit + nv * nit            # one-hot + Vt tables
-            + n_pad * n_pad * Bt              # Minv block
-            + (2 * n_pad + 4 * mcp + 2 * ny + 2 * nu) * Bt  # lane consts
+            + 3 * n_pad * n_pad * Bt          # Minv/Hp + factor scratch
+            + (4 * n_pad + 4 * mcp + 5 * pny + 2 * ny + 2 * nu) * Bt
             + 2 * mcp * n_pad + pny * (nxa + nu + n_pad)     # G0/SxF/ThT
+            + mcp * n_pad * n_pad             # T2T (PDIP/band kernels)
             + 2 * nxa * nxa + 2 * nxp * nxp   # model/plant tables (bound)
-            + (3 * n_pad + 3 * mcp + pny + 8) * Bt           # working set
+            + (3 * n_pad + 3 * mcp + 2 * pny + 8) * Bt       # working set
         )
         from mpc_tuning_tpu.ops.qp import _FUSED_VMEM_BUDGET
 
@@ -215,7 +216,24 @@ class MPCLoop:
         loop = self.capped(*caps)
         c = loop.arrays(dtype)
         d = loop.dims
-        base, lanes, _, _, _ = parse_qp_method(qp_method)
+        base, lanes, _, split_, lp_ = parse_qp_method(qp_method)
+        if base == "pdip_sim_fused" and d["with_y"] and lp_ and split_ > 0:
+            # whole-sim BAND engine: '+lpN+splitM' slack-LP split, the
+            # entire loop in one kernel (closed_loop_batch_sim_band);
+            # same envelope/fallback contract as the tracking kernels
+            if mesh is not None or not self._sim_fused_viable(loop, nit,
+                                                              lanes):
+                qp_method = qp_method.replace("pdip_sim_fused",
+                                              "pdip_ws_fused")
+            else:
+                args = (jnp.asarray(r_b, dtype)[:, :nit],
+                        jnp.asarray(v[:nit], dtype),
+                        jnp.asarray(N_b), jnp.asarray(Nu_b),
+                        jnp.asarray(delta_b, dtype),
+                        jnp.asarray(lam_b, dtype))
+                return _closed_sim_band_jit(
+                    c, *args, d["p_max"], d["m_max"], d["ny"], d["nu"],
+                    d["with_y"], d["rho"], lp_, split_, lanes)
         if base == "admm_sim_fused":
             # whole-sim kernel: the entire closed loop in one Pallas call
             # per lane block (closed_loop_batch_sim_fused).  Outside its
@@ -1018,3 +1036,142 @@ def closed_loop_batch_sim_pdip(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
 
 _closed_sim_pdip_jit = partial(
     jax.jit, static_argnums=tuple(range(7, 15)))(closed_loop_batch_sim_pdip)
+
+
+def closed_loop_batch_sim_band(c, r_b, v, N_b, Nu_b, delta_b, lam_b,
+                               p_max, m_max, ny, nu, with_y, rho,
+                               qp_lp, qp_split, block_lanes: int = 128):
+    """Whole-sim BAND engine ('pdip_sim_fused+lpN+splitM' with with_y):
+    the entire nit-step band-control closed loop — Kalman update, f/h
+    assembly incl. the free-response-dependent soft band rows, slack
+    seeding, stage-0 slack LP, slack-frozen stage-2 PDIP, plant step —
+    in ONE Pallas kernel per lane block
+    (ops/pallas_kernels.closed_sim_band_lanes).  Algorithm-identical to
+    the '+lp+split' scan branch of closed_loop_core.  f32 rows are
+    screening-grade only (band decisions stay f64, PARITY.md)."""
+    assert with_y, "band whole-sim kernel requires y-constrained cases"
+    from mpc_tuning_tpu.ops.pallas_kernels import closed_sim_band_lanes
+
+    with jax.default_matmul_precision("highest"):
+        dtype = r_b.dtype
+        B = r_b.shape[0]
+        nit = r_b.shape[1]
+        pny = p_max * ny
+        n = m_max * nu + 1
+        mc = 4 * m_max * nu + 1 + 2 * pny
+        n_pad = max(8, -(-n // 8) * 8)
+        mcp = max(8, -(-mc // 8) * 8)
+
+        cand = jax.vmap(
+            assemble_candidate,
+            in_axes=(None, 0, 0, 0, 0) + (None,) * 6,
+        )(c, N_b, Nu_b, delta_b, lam_b, p_max, m_max, ny, nu, rho, True)
+
+        def lanes(x, pad_to=None, fill=0.0):
+            x = x.T
+            if pad_to is not None and x.shape[0] < pad_to:
+                x = jnp.concatenate(
+                    [x, jnp.full((pad_to - x.shape[0], B), fill, dtype)],
+                    axis=0)
+            return x.astype(dtype)
+
+        Hp_t = jnp.zeros((n_pad, n_pad, B), dtype)
+        Hp_t = Hp_t.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+        Hp_t = Hp_t.at[:n, :n, :].set(cand["H"].transpose(1, 2, 0))
+        lpd = jnp.diagonal(cand["H_lp"], axis1=-2, axis2=-1)   # (B, n)
+
+        i_idx = jnp.arange(1, p_max + 1)
+        row_mask = (i_idx[None, :] <= N_b[:, None]).astype(dtype)  # (B, p)
+        q_b = (jnp.abs(delta_b[:, None, :]) ** 2
+               * row_mask[:, :, None]).reshape(B, pny)
+        rm_rep = jnp.repeat(row_mask, ny, axis=1)              # (B, pny)
+        rmyh = rm_rep * jnp.tile(jnp.asarray(c["en_y_hi"], dtype), p_max)
+        rmyl = rm_rep * jnp.tile(jnp.asarray(c["en_y_lo"], dtype), p_max)
+        ymax_f = jnp.tile(jnp.asarray(c["ymax"], dtype), p_max)
+        ymin_f = jnp.tile(jnp.asarray(c["ymin"], dtype), p_max)
+        hbyh = rmyh * ymax_f[None, :] + (1.0 - rmyh)
+        hbyl = -rmyl * ymin_f[None, :] + (1.0 - rmyl)
+
+        ones_m = np.ones(m_max)
+        kr = lambda vec: jnp.kron(jnp.asarray(ones_m, dtype),
+                                  jnp.asarray(vec, dtype))
+        h1 = cand["en_du_hi"] * kr(c["dumax"]) + (1.0 - cand["en_du_hi"])
+        h2 = -cand["en_du_lo"] * kr(c["dumin"]) + (1.0 - cand["en_du_lo"])
+        h3 = cand["en_u_hi"] * kr(c["umax"]) + (1.0 - cand["en_u_hi"])
+        h4 = -cand["en_u_lo"] * kr(c["umin"]) + (1.0 - cand["en_u_lo"])
+        hbu = jnp.concatenate([h1, h2, h3, h4], axis=1)   # (B, 4*m*nu)
+        su = jnp.concatenate([jnp.zeros_like(h1), jnp.zeros_like(h2),
+                              -cand["en_u_hi"], cand["en_u_lo"]], axis=1)
+
+        cmask2 = cand["cmask_z"].at[:, -1].set(0.0)
+        lane_consts = {
+            "q": lanes(q_b),
+            "hbu": lanes(hbu),
+            "su": lanes(su),
+            "hbyh": lanes(hbyh),
+            "rmyh": lanes(rmyh),
+            "hbyl": lanes(hbyl),
+            "rmyl": lanes(rmyl),
+            "rmask": lanes(cand["rmask"], mcp),
+            "cmask": lanes(cand["cmask_z"], n_pad),
+            "cmask2": lanes(cmask2, n_pad),
+            "lpd": lanes(lpd, n_pad, 1.0),
+            "sfy": jnp.broadcast_to(jnp.asarray(c["sf_y"], dtype)[:, None],
+                                    (ny, B)),
+            "sfu": jnp.broadcast_to(jnp.asarray(c["sf_u"], dtype)[:, None],
+                                    (nu, B)),
+        }
+
+        SxF = jnp.asarray(c["Sx"], dtype).reshape(pny, -1)
+        SstF = jnp.asarray(c["Sstep"], dtype)[1:].reshape(pny, nu)
+        v_t = jnp.asarray(v, dtype)
+        sf_v = jnp.asarray(c["sf_v"], dtype)
+        v_s = v_t / sf_v if v_t.shape[1] else v_t
+        SvF = jnp.asarray(c["Sv"], dtype).reshape(pny, -1)
+        nxa = c["A"].shape[0]
+        nxp = c["A_pl"].shape[0]
+        Dvv = (jnp.asarray(c["Dv"], dtype) @ v_s.T if v_t.shape[1]
+               else jnp.zeros((ny, nit), dtype))
+        Bvv = (jnp.asarray(c["Bv"], dtype) @ v_s.T if v_t.shape[1]
+               else jnp.zeros((nxa, nit), dtype))
+        Bplv = (jnp.asarray(c["B_pl"], dtype)[:, nu:] @ v_t.T
+                if v_t.shape[1] else jnp.zeros((nxp, nit), dtype))
+        Svv = (SvF @ v_s.T if v_t.shape[1]
+               else jnp.zeros((pny, nit), dtype))
+        Vt = jnp.concatenate([Dvv, Bvv, Bplv, Svv], axis=0)
+
+        ThT = jnp.zeros((n_pad, pny), dtype)
+        ThT = ThT.at[:m_max * nu, :].set(jnp.asarray(c["Theta"], dtype).T)
+        G0p = jnp.zeros((mcp, n_pad), dtype).at[:mc, :n].set(
+            jnp.asarray(c["G0"], dtype)[:mc])
+        T2p = jnp.zeros((mcp, n_pad, n_pad), dtype)
+        T2p = T2p.at[:mc, :n, :n].set(
+            jnp.asarray(c["T2"], dtype)[:mc].reshape(mc, n, n))
+        T2T = T2p.reshape(mcp, n_pad * n_pad).T
+
+        tables = {
+            "Cpl": jnp.asarray(c["C_pl"], dtype),
+            "Apl": jnp.asarray(c["A_pl"], dtype),
+            "Bplu": jnp.asarray(c["B_pl"], dtype)[:, :nu],
+            "C": jnp.asarray(c["C"], dtype),
+            "Mk": jnp.asarray(c["M"], dtype),
+            "A": jnp.asarray(c["A"], dtype),
+            "Bu": jnp.asarray(c["Bu"], dtype),
+            "SxF": SxF, "SstF": SstF, "ThT": ThT,
+            "G0": G0p, "G0T": jnp.transpose(G0p), "T2T": T2T, "Vt": Vt,
+        }
+
+        r_l = (jnp.asarray(r_b, dtype)
+               / jnp.asarray(c["sf_y"], dtype)[None, None, :]
+               ).transpose(1, 2, 0)
+
+        Y, U = closed_sim_band_lanes(
+            tables, lane_consts, Hp_t, r_l, nit=nit, lp_iters=qp_lp,
+            s2_iters=qp_split,
+            dims=dict(ny=ny, nu=nu, n=n, mc=mc, m_max=m_max),
+            block_lanes=block_lanes)
+    return Y.transpose(2, 0, 1), U.transpose(2, 0, 1)
+
+
+_closed_sim_band_jit = partial(
+    jax.jit, static_argnums=tuple(range(7, 16)))(closed_loop_batch_sim_band)

@@ -85,6 +85,17 @@ def resolve_qp_method(method: str, band: bool = False,
 
             if not fused_pdip_viable(*shape):
                 base = "pdip_ws_lanes"
+            elif shape[4]:
+                # whole-sim band kernel (round 5): seeding + slack LP +
+                # slack-frozen stage 2 per step, the entire loop in ONE
+                # Pallas call — +15% over the step-fused scan split at
+                # the bench band shape, f64-algorithm-identical to it
+                # (2.6e-10, tests/test_round5_engines.py); f32 rows stay
+                # screening-grade (band decisions finalize at f64 via
+                # the lanes path, which the f64 branch above returns).
+                # closed_batch falls back to the scan engine outside the
+                # kernel envelope.
+                base = "pdip_sim_fused"
         return base + "+lp20+split12"
     if stage == "vns" and not band:
         if shape is not None:

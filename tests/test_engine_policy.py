@@ -75,11 +75,13 @@ def test_auto_resolution_on_tpu_backend(monkeypatch):
                              dims=S7) == "admm_sim_fused@512"
     # band control never runs ADMM (documented stall on the ECR band QP)
     # and always two-stage eps-splits (joint IPMs stall on the band scale
-    # mix — sim/mpc_loop.parse_qp_method)
+    # mix — sim/mpc_loop.parse_qp_method); round 5: the whole-sim band
+    # kernel carries the same '+lp20+split12' algorithm in one Pallas
+    # call (f64-identical to the scan split)
     assert resolve_qp_method("auto", stage="vns", band=True,
-                             dims=S7) == "pdip_ws_fused+lp20+split12"
+                             dims=S7) == "pdip_sim_fused+lp20+split12"
     assert resolve_qp_method("auto", stage="gam", band=True,
-                             dims=S7) == "pdip_ws_fused+lp20+split12"
+                             dims=S7) == "pdip_sim_fused+lp20+split12"
     # round 5: tracking GAM resolves to the whole-SIM PDIP kernel
     # (CMA-trajectory-qualified, checkpoints/sim_pdip_qualification.json)
     assert resolve_qp_method("auto", stage="gam",

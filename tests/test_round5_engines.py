@@ -125,6 +125,33 @@ def test_whole_sim_pdip_kernel_matches_scan():
     np.testing.assert_allclose(np.asarray(Uk), np.asarray(Us), atol=1e-12)
 
 
+def test_whole_sim_band_kernel_matches_scan():
+    """Whole-sim BAND kernel ('pdip_sim_fused+lp20+split12'): slack
+    seeding + stage-0 slack LP + slack-frozen stage-2 PDIP per step, all
+    inside one Pallas call — must reproduce the production scan band
+    engine at f64 (algorithm-identical; measured 2.6e-10 over 30 steps
+    of the Shell7x5 configuration)."""
+    from mpc_tuning_tpu.cases import shell7x5
+    from mpc_tuning_tpu.cases.cross_eval import REF_TUNED
+
+    ref = REF_TUNED["Shell7x5"]
+    case = shell7x5.make_case()
+    problem, _ = build_problem(case, dtype=jnp.float64,
+                               L=np.diag(ref.L), R=np.diag(ref.R))
+    loop = problem.loop
+    B, NIT = 2, 25
+    r_b = np.broadcast_to(problem.r[:NIT], (B, NIT, 7))
+    args = (r_b, problem.v, np.array([10, 14]), np.array([2, 2]),
+            np.zeros((B, 7)), np.broadcast_to(ref.lam, (B, 3)).copy(),
+            NIT, jnp.float64, 12)
+    Yk, Uk = loop.closed_batch(*args,
+                               qp_method="pdip_sim_fused@128+lp20+split12")
+    Ys, Us = loop.closed_batch(*args,
+                               qp_method="pdip_ws_fused+lp20+split12")
+    np.testing.assert_allclose(np.asarray(Yk), np.asarray(Ys), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Uk), np.asarray(Us), atol=1e-8)
+
+
 def test_sim_fused_dispatch_and_mesh_fallback():
     """'admm_sim_fused' is the round-5 production VNS engine (adopted at
     zero decision flips after the candidate-table precision fix,
