@@ -7,11 +7,12 @@ Headline workload = the inner loop of the hybrid tuner at REAL tuning
 shapes: Wood-Berry 2x2 constrained MPC, nit=400 steps, p_max=127 /
 m_max=15 (nbp=7 / nbc=4 bit-widths), f32 — one lane per tuning candidate,
 vmapped.  Engine = the VNS-stage production pick of
-tuning.objectives.resolve_qp_method ('auto'): on TPU the fused whole-ADMM
-Pallas kernel (40 warm iterations in ONE kernel call per step;
-decision-level accuracy qualification in
-checkpoints/qp_engine_qualification.json — zero pairwise ranking flips vs
-the f64 PDIP truth on the WB and Shell3x3 candidate grids).
+tuning.objectives.resolve_qp_method ('auto'): on TPU the whole-SIM fused
+ADMM kernel (the ENTIRE 400-step closed loop — Kalman update, f/h
+assembly, 40 warm ADMM iterations, plant step — in ONE Pallas call per
+512-lane candidate block; decision-level qualification in
+checkpoints/sim_fused_qualification.json — decision-identical to the
+step-fused scan engine vs the f64 PDIP truth).
 
 Extra rows (detail.extra_metrics):
   * wb_gam_pdip_fused     — the GAM-stage engine (fused whole-PDIP kernel)
